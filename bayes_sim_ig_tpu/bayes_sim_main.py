@@ -1,0 +1,213 @@
+"""BayesSimIG-TPU entry point: the adaptive domain-randomization loop.
+
+Rebuild of the reference orchestrator
+(``/root/reference/bayes_sim_ig/bayes_sim_main.py:55-197``):
+
+  for each ADR ("real") iteration:
+    1. plot the current sim-param posterior;
+    2. train PPO on envs whose params are drawn from that posterior
+       (restart or finetune per ``bayessim.ftuneRL``);
+    3. evaluate on the surrogate-real system (params from ``realParams``),
+       log rewards + a video;
+    4. (unless ``modelClass: None`` ablation) collect randomized rollouts —
+       ALWAYS from the uniform prior (bayes_sim_main.py:145-146) — in
+       1000-trajectory chunks, training BayesSim on each chunk;
+    5. collect surrogate-real trajectories, accumulate them across
+       iterations, and set the next sampling distribution to
+       ``bsim.predict(all_real_states, all_real_actions)``.
+
+Run:
+  python -m bayes_sim_ig_tpu.bayes_sim_main --task Pendulum \
+      --logdir /tmp/bsim --max_iterations 20 --seed 0 --headless
+
+Improvements over the reference (SURVEY.md §5.4): per-iteration checkpoints
+of the posterior + BayesSim/PPO state for resumability.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+np.set_printoptions(edgeitems=30, linewidth=4000, precision=4,
+                    suppress=True, threshold=10000)
+
+from .engine import BayesSim
+from .distributions import pdf, to_device_distr
+from .rl import process_ppo
+from .sim import make_env
+from .utils import plot
+from .utils.args import init_args, log_args, check_distr, load_real_params
+from .utils.collect import collect_trajectories, get_collect_policy
+
+
+def _make_writer(logdir):
+    from tensorboardX import SummaryWriter
+    return SummaryWriter(logdir=os.path.join(logdir, "bsim"), flush_secs=10)
+
+
+def main(argv=None):
+    args, cfg_env, cfg_train = init_args(argv)
+    env = make_env(args.task, cfg_env, seed=args.seed)
+    spec = env.task.params_spec
+    print(spec.describe())
+
+    # Real and sim parameter distributions.
+    real_w, real_m, real_s = load_real_params(cfg_env, spec.dim)
+    real_params_distr = pdf.MoG(a=real_w, ms=real_m, Ss=real_s)
+    check_distr(real_params_distr, spec.lows, spec.highs, "realParams")
+    print("Init real_params_distr", real_params_distr)
+    sim_params_distr = pdf.Uniform(spec.lows, spec.highs)  # the prior
+    print("Init sim_params_distr", sim_params_distr)
+
+    def set_env_distr(distr):
+        env.set_distr(to_device_distr(distr, spec.lows, spec.highs))
+
+    writer = _make_writer(args.logdir)
+    log_args(args, cfg_env, cfg_train, writer)
+
+    bs_cfg = cfg_env["bayessim"]
+    ftune_rl = bs_cfg["ftuneRL"]
+    set_env_distr(sim_params_distr)
+    ppo = process_ppo(env, cfg_train,
+                      args.logdir if ftune_rl
+                      else os.path.join(args.logdir, "rl_0"),
+                      writer=writer, seed=args.seed)
+    if "policyCheckpt" in bs_cfg:
+        ppo.load(bs_cfg["policyCheckpt"])
+    collect_policy_fxn = get_collect_policy(bs_cfg["collectPolicy"])
+    bsim = None
+    n_train_trajs = bs_cfg["trainTrajs"]
+    all_real_states = None
+    all_real_actions = None
+
+    for real_iter_id in range(bs_cfg["realIters"]):
+        t_iter = time.time()
+        plot.plot_posterior(
+            writer, "BayesSim/posterior", real_iter_id,
+            sim_params_names=spec.names, skip_ids=spec.skip_ids,
+            true_params=real_params_distr.components[0].m,
+            posterior=sim_params_distr,
+            p_lower=spec.lows, p_upper=spec.highs)
+
+        # ---- Train RL on the current posterior. ---------------------- #
+        print("============= Train RL before real_iter_id", real_iter_id)
+        set_env_distr(sim_params_distr)
+        if not ftune_rl and real_iter_id > 0:
+            ppo_logdir = os.path.join(args.logdir, f"rl_{real_iter_id}")
+            ppo = process_ppo(env, cfg_train, ppo_logdir, writer=writer,
+                              seed=args.seed + real_iter_id)
+            ppo.run(num_learning_iterations=args.max_iterations,
+                    log_interval=cfg_train["learn"].get("save_interval", 50))
+        else:
+            ppo_it = real_iter_id * args.max_iterations
+            ppo.current_learning_iteration = ppo_it
+            ppo.run(num_learning_iterations=ppo_it + args.max_iterations,
+                    log_interval=cfg_train["learn"].get("save_interval", 50))
+
+        # ---- Surrogate-real evaluation. ------------------------------ #
+        print("Simulating evals...")
+        set_env_distr(real_params_distr)
+        _, _, _, real_rwds, real_imgs = collect_trajectories(
+            bs_cfg["realEvals"], ppo, None, max_traj_len=None,
+            visualize=True)
+        real_rwds = np.asarray(real_rwds)
+        for fxn in ("mean", "min", "max"):
+            writer.add_scalar("SurrogateReal/real_rewards_" + fxn,
+                              float(getattr(np, fxn)(real_rwds)),
+                              real_iter_id)
+        _write_video(writer, real_imgs, real_iter_id)
+        if bs_cfg["modelClass"] == "None":
+            continue  # ablation: pure DR without BayesSim
+
+        # ---- Collect randomized rollouts, train BayesSim. ------------ #
+        print(f"Start BayesSim {bs_cfg['modelClass']} iter {real_iter_id}")
+        set_env_distr(pdf.Uniform(spec.lows, spec.highs))  # always prior
+        if bsim is None or not bs_cfg["ftune"]:
+            bsim = BayesSim(
+                model_cfg=bs_cfg,
+                obs_dim=env.task.obs_dim, act_dim=env.task.act_dim,
+                params_dim=spec.dim, params_lows=spec.lows,
+                params_highs=spec.highs, prior=None, proposal=None,
+                seed=args.seed)
+        n_trajs_done = 0
+        log_bsim = None
+        print("Will train BayesSim on", n_train_trajs, "trajs")
+        while n_trajs_done < n_train_trajs:
+            n_batch = BayesSim.get_n_trajs_per_batch(n_train_trajs,
+                                                     n_trajs_done)
+            sim_prms, sim_states, sim_acts, *_ = collect_trajectories(
+                n_batch, ppo, collect_policy_fxn,
+                max_traj_len=bs_cfg["trainTrajLen"])
+            log_bsim = bsim.run_training(sim_prms, sim_states, sim_acts)
+            n_trajs_done += n_batch
+            print(f"n_trajs_done {n_trajs_done} (of {n_train_trajs}) "
+                  f"loss train {log_bsim['train_loss'][-1]:.4f} "
+                  f"test {log_bsim['test_loss'][-1]:.4f}")
+        writer.add_scalar("BayesSim/train_loss",
+                          log_bsim["train_loss"][-1], real_iter_id)
+        writer.add_scalar("BayesSim/test_loss",
+                          log_bsim["test_loss"][-1], real_iter_id)
+        writer.flush()
+        sys.stdout.flush()
+
+        # ---- Surrogate-real trajectories -> new posterior. ----------- #
+        print("Simulating surrogate real runs...")
+        set_env_distr(real_params_distr)
+        _, real_states, real_actions, *_ = collect_trajectories(
+            bs_cfg["realTrajs"], ppo, collect_policy_fxn,
+            max_traj_len=bs_cfg["trainTrajLen"])
+        real_states, real_actions = (np.asarray(real_states),
+                                     np.asarray(real_actions))
+        if real_iter_id == 0:
+            all_real_states, all_real_actions = real_states, real_actions
+        else:
+            all_real_states = np.concatenate([all_real_states, real_states])
+            all_real_actions = np.concatenate(
+                [all_real_actions, real_actions])
+        sim_params_distr = bsim.predict(all_real_states, all_real_actions)
+        print(f"Iter {real_iter_id} took {time.time() - t_iter:.1f}s; "
+              f"posterior:\n{sim_params_distr}")
+        _save_iteration_checkpoint(args.logdir, real_iter_id,
+                                   sim_params_distr, ppo)
+    writer.close()
+
+
+def _write_video(writer, imgs, step):
+    """Surrogate-real rollout video at 24 fps (bayes_sim_main.py:135-138);
+    falls back to start/middle/end frames when moviepy is unavailable."""
+    if len(imgs) == 0:
+        return
+    try:
+        import moviepy  # noqa: F401  (tensorboardX's video dependency)
+        vid = np.stack(imgs)[None].transpose(0, 1, 4, 2, 3)
+        writer.add_video("RealSurrogate/video", vid, step, fps=24)
+    except ImportError:
+        for tag, idx in (("start", 0), ("mid", len(imgs) // 2),
+                         ("end", len(imgs) - 1)):
+            frame = np.transpose(imgs[idx], (2, 0, 1))
+            writer.add_image(f"RealSurrogate/frame_{tag}", frame, step)
+
+
+def _save_iteration_checkpoint(logdir, real_iter_id, posterior, ppo):
+    """Posterior + policy checkpoint per ADR iteration (the reference never
+    saves these, SURVEY.md §5.4)."""
+    path = os.path.join(logdir, "checkpoints")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, f"posterior_{real_iter_id}.pkl"),
+              "wb") as f:
+        pickle.dump({
+            "weights": np.asarray(posterior.a),
+            "means": np.stack([g.m for g in posterior.xs]),
+            "covs": np.stack([g.S for g in posterior.xs]),
+            "real_iter_id": real_iter_id,
+        }, f)
+    ppo.save(os.path.join(path, f"policy_{real_iter_id}.ckpt"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""The core BayesSim engine: summarize trajectories, train a mixture density
+model, extract posteriors over simulation parameters.
+
+Rebuild of ``/root/reference/bayes_sim_ig/bayes_sim.py:19-179`` with the same
+training budget constants, chunked-training contract, model-class string
+parsing (``MDRFF_<kernel>_<sigma>``), proposal correction, and the
+multi-real-trajectory posterior combination (resample 1e4 points from the
+per-trajectory mixtures, fit an unconditional MDNN, read off its single
+conditional mixture).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .distributions import pdf
+from .models import MDNN, get_model_class
+from .summarizers import get_summarizer
+
+
+class BayesSim:
+    NUM_TRAIN_TRAJ_PER_BATCH = 1000  # num trajs for each training batch
+    NUM_TRAIN_EPOCHS = 10            # num times to go over the batch
+    MINIBATCH_SIZE = 100             # minibatch size for NN training
+    NUM_GRAD_UPDATES = (NUM_TRAIN_EPOCHS * NUM_TRAIN_TRAJ_PER_BATCH
+                        // MINIBATCH_SIZE)
+    TEST_FRACTION = 0.2              # fraction of dataset to use as test
+
+    def __init__(self, model_cfg, obs_dim, act_dim, params_dim, params_lows,
+                 params_highs, prior=None, proposal=None, seed=0, **kwargs):
+        """Creates and initializes a BayesSim object (bayes_sim.py:27-82).
+
+        model_cfg is the ``bayessim`` section of the task yaml; the
+        summarizer's output dimension is probed by running it on zeros of
+        shape (1, trainTrajLen, obs/act_dim) (bayes_sim.py:57-60).
+        """
+        self.prior = prior
+        self.proposal = proposal
+        model_class = model_cfg["modelClass"]
+        self.summarizer_fxn = get_summarizer(model_cfg["summarizerFxn"])
+        tmp = self.summarizer_fxn(
+            jnp.zeros((1, model_cfg["trainTrajLen"], obs_dim)),
+            jnp.zeros((1, model_cfg["trainTrajLen"], act_dim)))
+        traj_summaries_dim = int(tmp.shape[-1])
+        full_covariance = bool(model_cfg.get("fullCovariance", False))
+        kwargs_model = {
+            "input_dim": traj_summaries_dim, "output_dim": int(params_dim),
+            "output_lows": np.asarray(params_lows),
+            "output_highs": np.asarray(params_highs),
+            "n_gaussians": model_cfg["components"],
+            "hidden_layers": model_cfg["hiddenLayers"],
+            "lr": model_cfg["lr"],
+            "activation": "tanh",
+            "full_covariance": full_covariance,
+            "seed": seed,
+        }
+        if model_class.startswith("MDRFF"):
+            kernel, sigma = "RBF", 4.0
+            if "_" in model_class:  # e.g. MDRFF_Matern32_2.0
+                parts = model_class.split("_")
+                model_class = parts[0]
+                kernel = parts[1]
+                if len(parts) > 2:
+                    sigma = float(parts[2])
+            kwargs_model.update(n_feat=200, sigma=sigma, kernel=kernel)
+        self.model = get_model_class(model_class)(**kwargs_model)
+
+    @staticmethod
+    def get_n_trajs_per_batch(n_train_trajs, n_train_trajs_done):
+        """Next chunk size, capped so the total hits n_train_trajs exactly
+        (bayes_sim.py:84-89)."""
+        n = BayesSim.NUM_TRAIN_TRAJ_PER_BATCH
+        if n_train_trajs_done + n > n_train_trajs:
+            n = n_train_trajs - n_train_trajs_done
+        return n
+
+    def run_training(self, params, traj_states, traj_actions):
+        """Summarizes one chunk of rollouts and trains the model on it
+        (bayes_sim.py:91-114)."""
+        traj_summaries = self.summarizer_fxn(jnp.asarray(traj_states),
+                                             jnp.asarray(traj_actions))
+        return self.model.run_training(
+            x_data=traj_summaries, y_data=jnp.asarray(params),
+            n_updates=BayesSim.NUM_GRAD_UPDATES,
+            batch_size=BayesSim.MINIBATCH_SIZE,
+            test_frac=BayesSim.TEST_FRACTION)
+
+    def predict(self, states, actions, threshold=0.005):
+        """Posterior over sim params given (surrogate-)real trajectories
+        (bayes_sim.py:116-179). With several trajectories, the per-trajectory
+        mixtures are combined by resampling and refitting an unconditional
+        MDNN."""
+        xs = self.summarizer_fxn(jnp.asarray(states), jnp.asarray(actions))
+        mogs = self.model.predict_MoGs(xs)
+        if self.proposal is not None:
+            for i, mog in enumerate(mogs):
+                mog.prune_negligible_components(threshold=threshold)
+                if isinstance(self.prior, pdf.Uniform):
+                    post = mog / self.proposal
+                elif isinstance(self.prior, pdf.Gaussian):
+                    post = (mog * self.prior) / self.proposal
+                else:
+                    raise NotImplementedError(
+                        f"prior type {type(self.prior)} unsupported")
+                mogs[i] = post
+        if len(mogs) == 1:
+            return mogs[0]
+        # Combine: resample the mixtures, fit a small unconditional MDNN.
+        tot_smpls = int(1e4)
+        n_per_mog = tot_smpls // len(mogs)
+        mog_smpls = np.concatenate(
+            [mog.gen(n_samples=n_per_mog) for mog in mogs], axis=0)
+        mog_model = MDNN(
+            input_dim=1, output_dim=self.model.output_dim,
+            output_lows=self.model.output_lows,
+            output_highs=self.model.output_highs,
+            n_gaussians=self.model.n_gaussians,
+            hidden_layers=(128, 128), lr=self.model.lr,
+            activation=self.model.activation,
+            full_covariance=self.model.l_size > 0)
+        batch_size = 100
+        n_updates = 5 * tot_smpls // batch_size
+        inputs = np.zeros((mog_smpls.shape[0], 1), np.float32)
+        mog_model.run_training(inputs, mog_smpls.astype(np.float32),
+                               n_updates, batch_size)
+        fitted = mog_model.predict_MoGs(inputs[0:1, :])
+        assert len(fitted) == 1
+        return fitted[0]

@@ -1,0 +1,284 @@
+"""Mixture Density Network (MDN) for BayesSim, in pure JAX + optax.
+
+Rebuild of the reference model (``/root/reference/bayes_sim_ig/models/
+mdnn.py:21-289``) with the same learning semantics:
+
+  * fully-connected trunk (tanh default) -> heads: mixture weights
+    (softmax clamped to >= 1e-5 then renormalized), means, exp-diagonal
+    scale factors (+ small uniform noise for stability), optional
+    lower-triangular Cholesky entries for full covariance;
+  * NLL loss: per-component multivariate-normal log-prob (via triangular
+    scale factor), clamped to +-1e5, plus log component weight, logsumexp
+    over components, mean over the batch;
+  * Adam with a FRESH optimizer state per ``run_training`` call (the
+    reference constructs a new torch Adam each call, mdnn.py:203);
+  * targets normalized to [0, 1] by output lows/highs; the first
+    (1 - test_frac) of the data is train, the rest test, unshuffled;
+    random minibatches with replacement;
+  * torch-style Linear init U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
+    weights and biases, so training dynamics match the reference.
+
+TPU-first difference: the reference steps the optimizer from a Python loop
+(one graph launch per update, mdnn.py:228-234); here the whole
+``n_updates``-step training run is ONE jit-compiled ``lax.scan`` — minibatch
+sampling, forward, loss, backward and Adam update all stay on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..distributions import pdf
+
+LL_LIMIT = 1.0e5     # limit log likelihood to avoid large gradients
+MIN_WEIGHT = 1.0e-5  # minimum component weight to keep updates alive
+EPS_NOISE = 1.0e-5   # scale-diagonal stability noise
+
+_ACTIVATIONS = {
+    "tanh": jnp.tanh,
+    "relu": jax.nn.relu,
+    "leaky_relu": jax.nn.leaky_relu,
+}
+
+
+def _linear_init(key, fan_in, fan_out, dtype=jnp.float32):
+    """torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(max(fan_in, 1))
+    w = jax.random.uniform(kw, (fan_in, fan_out), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (fan_out,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def init_mdnn_params(key, input_dim, output_dim, n_gaussians, hidden_layers,
+                     full_covariance):
+    """Builds the MDNN parameter pytree."""
+    hidden_layers = tuple(hidden_layers)
+    l_size = output_dim * (output_dim - 1) // 2
+    keys = jax.random.split(key, len(hidden_layers) + 4)
+    params: Dict[str, Any] = {"trunk": []}
+    last = input_dim
+    for i, h in enumerate(hidden_layers):
+        params["trunk"].append(_linear_init(keys[i], last, h))
+        last = h
+    k = len(hidden_layers)
+    params["pi"] = _linear_init(keys[k], last, n_gaussians)
+    params["mu"] = _linear_init(keys[k + 1], last, output_dim * n_gaussians)
+    params["diag"] = _linear_init(keys[k + 2], last, output_dim * n_gaussians)
+    if l_size > 0 and full_covariance:
+        params["lower"] = _linear_init(keys[k + 3], last,
+                                       l_size * n_gaussians)
+    return params
+
+
+def mdnn_forward(params, x, key, *, output_dim, n_gaussians, activation):
+    """Applies the MDN; returns (weights, mu, L_d, L) like mdnn.py:89-125.
+
+    weights: (B, K); mu, L_d: (B, D, K); L: (B, L_size, K) or None.
+    """
+    act = _ACTIVATIONS[activation]
+    h = x
+    for layer in params["trunk"]:
+        h = act(h @ layer["w"] + layer["b"])
+    weights = jax.nn.softmax(h @ params["pi"]["w"] + params["pi"]["b"], -1)
+    weights = jnp.clip(weights, MIN_WEIGHT, 1.0)
+    weights = weights / jnp.sum(weights, axis=1, keepdims=True)
+    mu = (h @ params["mu"]["w"] + params["mu"]["b"]).reshape(
+        -1, output_dim, n_gaussians)
+    l_d = jnp.exp(h @ params["diag"]["w"] + params["diag"]["b"]).reshape(
+        -1, output_dim, n_gaussians)
+    eps = EPS_NOISE * l_d.mean()
+    l_d = l_d + jax.random.uniform(key, l_d.shape, l_d.dtype) * eps
+    lower = None
+    if "lower" in params:
+        l_size = params["lower"]["w"].shape[1] // n_gaussians
+        lower = (h @ params["lower"]["w"] + params["lower"]["b"]).reshape(
+            -1, l_size, n_gaussians)
+    return weights, mu, l_d, lower
+
+
+def _scale_tril(l_d_k, lower_k, output_dim):
+    """Builds (B, D, D) lower-triangular scale factors for one component."""
+    tril = jnp.zeros(l_d_k.shape[:1] + (output_dim, output_dim),
+                     l_d_k.dtype)
+    di = jnp.arange(output_dim)
+    tril = tril.at[:, di, di].set(l_d_k)
+    if lower_k is not None:
+        rows, cols = np.tril_indices(output_dim, -1)
+        tril = tril.at[:, rows, cols].set(lower_k)
+    return tril
+
+
+def mdn_loss(weights, mu, l_d, lower, y):
+    """Mixture NLL (mdnn.py:127-178): clamp per-component log-probs to
+    +-1e5, add log weights, logsumexp, negate, mean over batch."""
+    batch, output_dim, n_gaussians = mu.shape
+    log2pi = jnp.log(2.0 * jnp.pi).astype(y.dtype)
+    comp_lps = []
+    for k in range(n_gaussians):
+        tril = _scale_tril(l_d[:, :, k],
+                           None if lower is None else lower[:, :, k],
+                           output_dim)
+        diff = y - mu[:, :, k]
+        z = jax.scipy.linalg.solve_triangular(tril, diff[..., None],
+                                              lower=True)[..., 0]
+        logdet = jnp.sum(jnp.log(l_d[:, :, k]), axis=-1)
+        lp = -0.5 * (jnp.sum(z * z, axis=-1)
+                     + output_dim * log2pi) - logdet
+        lp = jnp.clip(lp, -LL_LIMIT, LL_LIMIT)
+        w = jnp.clip(weights[:, k], MIN_WEIGHT, 1.0)
+        comp_lps.append(lp + jnp.log(w))
+    result = jnp.stack(comp_lps, axis=1)  # (B, K)
+    return -jax.scipy.special.logsumexp(result, axis=1).mean()
+
+
+class MDNN:
+    """Stateful wrapper mirroring the reference MDNN surface
+    (ctor args per mdnn.py:26-87, methods run_training / predict_MoGs /
+    normalize_samples)."""
+
+    def __init__(self, input_dim, output_dim, output_lows, output_highs,
+                 n_gaussians, full_covariance, hidden_layers, activation,
+                 lr, seed=0, **kwargs):
+        self.input_dim = int(input_dim)
+        self.output_dim = int(output_dim)
+        self.n_gaussians = int(n_gaussians)
+        self.hidden_layers = tuple(hidden_layers)
+        self.full_covariance = bool(full_covariance)
+        self.l_size = self.output_dim * (self.output_dim - 1) // 2
+        if isinstance(activation, str):
+            self.activation = activation
+        else:  # tolerate torch-style class args like nn.Tanh
+            self.activation = getattr(activation, "__name__",
+                                      str(activation)).lower()
+        assert self.activation in _ACTIVATIONS
+        self.lr = float(lr)
+        self.output_lows = None
+        self.output_highs = None
+        if output_lows is not None:
+            self.output_lows = np.asarray(output_lows, np.float32)
+            self.output_highs = np.asarray(output_highs, np.float32)
+        self._key = jax.random.PRNGKey(seed)
+        self._key, init_key = jax.random.split(self._key)
+        self.params = init_mdnn_params(
+            init_key, self.input_dim, self.output_dim, self.n_gaussians,
+            self.hidden_layers, self.full_covariance)
+        self._optimizer = optax.adam(self.lr)
+        self._train_fn = None  # built lazily (jit cache keyed on shapes)
+
+    # ------------------------------------------------------------------ #
+    def _forward(self, params, x, key):
+        return mdnn_forward(params, x, key, output_dim=self.output_dim,
+                            n_gaussians=self.n_gaussians,
+                            activation=self.activation)
+
+    def _loss(self, params, x, y, key):
+        return mdn_loss(*self._forward(params, x, key), y)
+
+    def _build_train_fn(self):
+        optimizer = self._optimizer
+        loss_fn = self._loss
+
+        @functools.partial(jax.jit,
+                           static_argnames=("n_updates", "batch_size"))
+        def train_scan(params, x_train, y_train, x_test, y_test, key,
+                       n_updates, batch_size):
+            opt_state = optimizer.init(params)
+            n_train = x_train.shape[0]
+
+            def step(carry, step_key):
+                params, opt_state = carry
+                k_batch, k_noise, k_test = jax.random.split(step_key, 3)
+                ids = jax.random.randint(k_batch, (batch_size,), 0, n_train)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, x_train[ids], y_train[ids], k_noise)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                test_loss = loss_fn(params, x_test, y_test, k_test)
+                return (params, opt_state), (loss, test_loss)
+
+            keys = jax.random.split(key, n_updates)
+            (params, _), (train_losses, test_losses) = jax.lax.scan(
+                step, (params, opt_state), keys)
+            return params, train_losses, test_losses
+
+        return train_scan
+
+    def run_training(self, x_data, y_data, n_updates, batch_size,
+                     test_frac=0.2):
+        """Trains for ``n_updates`` minibatch steps; returns a log dict with
+        train/test losses at the reference's checkpoint cadence
+        (every max(n_updates//5, 1) steps plus the final step,
+        mdnn.py:235-242)."""
+        x_data = jnp.asarray(x_data, jnp.float32)
+        y_data = jnp.asarray(y_data, jnp.float32)
+        assert x_data.shape[0] == y_data.shape[0]
+        if self.output_lows is not None:
+            y_data = self.normalize_samples(y_data)
+        n_tot = x_data.shape[0]
+        n_train = max(int(n_tot * (1.0 - test_frac)), 1)
+        if self._train_fn is None:
+            self._train_fn = self._build_train_fn()
+        self._key, run_key = jax.random.split(self._key)
+        # Static ints keep the scan length compile-time constant.
+        train_scan = functools.partial(self._train_fn,
+                                       n_updates=int(n_updates),
+                                       batch_size=int(batch_size))
+        self.params, train_losses, test_losses = train_scan(
+            self.params, x_data[:n_train], y_data[:n_train],
+            x_data[n_train:], y_data[n_train:], run_key)
+        train_losses = np.asarray(train_losses)
+        test_losses = np.asarray(test_losses)
+        stride = max(int(n_updates) // 5, 1)
+        checkpoints = list(range(0, int(n_updates), stride))
+        if int(n_updates) - 1 not in checkpoints:
+            checkpoints.append(int(n_updates) - 1)
+        return {"train_loss": [float(train_losses[i]) for i in checkpoints],
+                "test_loss": [float(test_losses[i]) for i in checkpoints]}
+
+    def normalize_samples(self, params):
+        rng = jnp.asarray(self.output_highs - self.output_lows)
+        return (params - jnp.asarray(self.output_lows)) / rng
+
+    def predict_MoGs(self, xs) -> List[pdf.MoG]:
+        """Conditional mixture at each input row, denormalized to the
+        original output range (mdnn.py:250-289): means m*rng + lows, scale
+        factors diag(rng) @ L."""
+        xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
+        self._key, noise_key = jax.random.split(self._key)
+        weights, mu, l_d, lower = self._forward(self.params, xs, noise_key)
+        weights = np.asarray(weights, np.float64)
+        mu = np.asarray(mu, np.float64)
+        l_d = np.asarray(l_d, np.float64)
+        lower = None if lower is None else np.asarray(lower, np.float64)
+        normalize = self.output_lows is not None
+        rng = None
+        if normalize:
+            rng = (self.output_highs - self.output_lows).astype(np.float64)
+        tril_ids = np.tril_indices(self.output_dim, -1)
+        mogs = []
+        for pt in range(xs.shape[0]):
+            ms, ls = [], []
+            for k in range(self.n_gaussians):
+                m = mu[pt, :, k]
+                lwr = np.diag(l_d[pt, :, k])
+                if lower is not None:
+                    lwr[tril_ids] = lower[pt, :, k]
+                if normalize:
+                    m = m * rng + self.output_lows
+                    lwr = np.diag(rng) @ lwr
+                l_combo = np.diag(lwr)
+                if lower is not None:
+                    l_combo = np.concatenate([l_combo, lwr[tril_ids]])
+                ms.append(m)
+                ls.append(l_combo)
+            mogs.append(pdf.MoG(a=weights[pt], ms=ms, Ls=ls))
+        return mogs

@@ -1,0 +1,62 @@
+"""Mesh construction and env-axis sharding helpers."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ENV_AXIS = "env"
+
+
+def initialize_distributed(**kwargs):
+    """Multi-host init (no-op on a single host). The reference has no
+    distributed backend at all; on TPU pods this wires DCN coordination."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = ENV_AXIS) -> Mesh:
+    """1-D mesh over (the first ``n_devices``) devices; envs shard along it."""
+    devices = jax.devices()
+    if n_devices is not None:
+        assert len(devices) >= n_devices, \
+            f"need {n_devices} devices, have {len(devices)}"
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=(axis,))
+
+
+def env_sharding(mesh: Mesh, axis: str = ENV_AXIS) -> NamedSharding:
+    """Leading-axis (env) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_env_state(state, mesh: Mesh, num_envs: int,
+                    axis: str = ENV_AXIS):
+    """Places an EnvState-like pytree on the mesh: leaves with a leading
+    env axis are sharded along it, everything else is replicated."""
+    shard = env_sharding(mesh, axis)
+    repl = replicated_sharding(mesh)
+
+    def place(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == num_envs:
+            return jax.device_put(x, shard)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, state)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = ENV_AXIS):
+    """Shards a data batch (e.g. MDNN training data) along its leading axis
+    and lets GSPMD turn the loss reduction into a cross-device psum."""
+    shard = env_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), batch)

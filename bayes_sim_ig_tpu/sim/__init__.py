@@ -1,0 +1,34 @@
+"""Vectorized JAX tasks and the env factory."""
+
+from .task import (
+    Task, EnvState, VecEnv, env_step, env_full_reset,
+    CLIP_OBSERVATIONS, CLIP_ACTIONS,
+)
+from .pendulum import Pendulum
+
+_TASK_REGISTRY = {
+    "Pendulum": Pendulum,
+}
+
+
+def register_task(name, cls):
+    _TASK_REGISTRY[name] = cls
+
+
+def available_tasks():
+    return sorted(_TASK_REGISTRY)
+
+
+def make_env(task_name: str, cfg: dict, seed: int = 0) -> VecEnv:
+    """Creates a vectorized env for a task (replaces ``make_ig_env``,
+    ig_env_wrappers.py:411-426, without the eval()-based class lookup)."""
+    if task_name not in _TASK_REGISTRY:
+        raise KeyError(f"Unknown task '{task_name}'. "
+                       f"Available: {available_tasks()}")
+    task = _TASK_REGISTRY[task_name](cfg)
+    return VecEnv(task, seed=seed)
+
+
+__all__ = ["Task", "EnvState", "VecEnv", "env_step", "env_full_reset",
+           "Pendulum", "make_env", "register_task", "available_tasks",
+           "CLIP_OBSERVATIONS", "CLIP_ACTIONS"]

@@ -1,0 +1,234 @@
+"""Core vectorized-task abstraction: pure functions over batched pytrees.
+
+This replaces the reference's Isaac Gym BaseTask / VecTaskPython stack
+(``/root/reference/bayes_sim_ig/sim/ig_env_wrappers.py:373-408``,
+``openai_env_wrappers.py:24-177``) with the idiomatic TPU inversion:
+*physics parameters are data*. A task is a set of pure functions over a
+batched state pytree plus an (N, P) params array; stepping the whole env
+batch — including per-env re-randomization at episode resets — is a single
+jit-compiled function usable inside ``lax.scan`` rollouts and shardable over
+a device mesh.
+
+Step semantics follow the IG convention the reference fixes up in its
+wrappers: the reset/done bit is set on the LAST step of an episode (the step
+before reset; ig_env_wrappers.py:374-377); envs whose bit is set are
+re-randomized and reset at the START of the next step, which replaces their
+physics step (openai_env_wrappers.py:92-116). Rewards are computed on the
+state at the beginning of the step (post-reset for freshly reset envs),
+matching PendulumB. Observations are clipped to +-100 and actions to +-1
+(VecTaskPythonB, ig_env_wrappers.py:378-382).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions.device import DeviceDistr, sample_distr
+from ..dr.noise import NoiseConfig, apply_noise
+
+CLIP_OBSERVATIONS = 100.0  # ig_env_wrappers.py:380-382 (IG default is 5)
+CLIP_ACTIONS = 1.0
+
+
+class Task:
+    """Base class for vectorized tasks. Subclasses define the static spec
+    attributes and the four pure functions below (all batched over the
+    leading env axis)."""
+
+    name: str = "Task"
+    obs_dim: int
+    act_dim: int
+    num_envs: int
+    max_episode_length: int
+    params_spec: Any  # dr.ParamsSpec
+    obs_noise: Optional[NoiseConfig] = None
+    act_noise: Optional[NoiseConfig] = None
+
+    def setup_noise(self, randomization_params: dict):
+        """Parses optional 'observations'/'actions' noise subtrees
+        (apply_randomizations.py:62-132 config schema)."""
+        from ..dr.noise import make_noise_config
+        if "observations" in randomization_params:
+            self.obs_noise = make_noise_config(
+                randomization_params["observations"])
+        if "actions" in randomization_params:
+            self.act_noise = make_noise_config(
+                randomization_params["actions"])
+
+    def init_state(self, key: jax.Array, params: jnp.ndarray):
+        """Fresh per-env state pytree given (N, P) params."""
+        raise NotImplementedError
+
+    def physics_step(self, state, actions, params, key):
+        """Advances physics one step. ``actions`` are in [-1, 1]."""
+        raise NotImplementedError
+
+    def observe(self, state, params) -> jnp.ndarray:
+        """(N, obs_dim) observations."""
+        raise NotImplementedError
+
+    def reward(self, state, actions, params) -> jnp.ndarray:
+        """(N,) rewards for taking ``actions`` in ``state`` (state at the
+        beginning of the step)."""
+        raise NotImplementedError
+
+    def early_termination(self, state, params) -> jnp.ndarray:
+        """(N,) bool mask of envs that must terminate before timeout."""
+        return jnp.zeros(state_batch_size(state), dtype=bool)
+
+    def get_img(self, env_state: "EnvState", env_id: int = 0,
+                height: int = 200, width: int = 200):
+        """Optional single-env frame for TensorBoard videos."""
+        return None
+
+
+def state_batch_size(state) -> int:
+    return jax.tree_util.tree_leaves(state)[0].shape[0]
+
+
+def _tree_select(mask, a, b):
+    """Per-env select between two equally-shaped state pytrees."""
+    def sel(x, y):
+        m = mask.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+    return jax.tree_util.tree_map(sel, a, b)
+
+
+class EnvState(NamedTuple):
+    """The full mutable world state as one device pytree."""
+    task_state: Any        # task-specific, leading dim N
+    params: jnp.ndarray    # (N, P) current per-env physics params (labels)
+    progress: jnp.ndarray  # (N,) int32 steps since episode start
+    reset_buf: jnp.ndarray  # (N,) int32; 1 on an episode's last step
+    frame_count: jnp.ndarray  # () int32 global frames (noise schedules)
+    obs_corr: jnp.ndarray  # (N, obs_dim) correlated-noise draw
+    act_corr: jnp.ndarray  # (N, act_dim) correlated-noise draw
+    key: jax.Array         # threaded PRNG key
+
+
+def env_full_reset(task: Task, distr: DeviceDistr, key: jax.Array,
+                   frame_count=0):
+    """Resets and re-randomizes ALL envs (VecTaskPythonB.reset,
+    ig_env_wrappers.py:388-408). Returns (EnvState, obs)."""
+    k_params, k_init, k_oc, k_ac, k_next = jax.random.split(key, 5)
+    params = sample_distr(distr, k_params, task.num_envs)
+    task_state = task.init_state(k_init, params)
+    n = task.num_envs
+    state = EnvState(
+        task_state=task_state,
+        params=params,
+        progress=jnp.zeros(n, jnp.int32),
+        reset_buf=jnp.zeros(n, jnp.int32),
+        frame_count=jnp.asarray(frame_count, jnp.int32),
+        obs_corr=jax.random.normal(k_oc, (n, task.obs_dim)),
+        act_corr=jax.random.normal(k_ac, (n, task.act_dim)),
+        key=k_next)
+    obs = jnp.clip(task.observe(task_state, params),
+                   -CLIP_OBSERVATIONS, CLIP_OBSERVATIONS)
+    return state, obs
+
+
+def env_step(task: Task, distr: DeviceDistr, state: EnvState,
+             actions: jnp.ndarray, max_episode_length: Optional[int] = None):
+    """One synchronized step of all envs; pure and jit/scan/shard-safe.
+
+    Returns (new_state, obs, rew, done) with the IG done convention (done=1
+    on an episode's last step; the env resets itself on the next call).
+    ``max_episode_length`` overrides the task default (the collection path
+    sets it to trainTrajLen + 1, collect_trajectories.py:35-37).
+    """
+    if max_episode_length is None:
+        max_episode_length = task.max_episode_length
+    n = task.num_envs
+    (k_params, k_init, k_phys, k_act, k_obs, k_oc, k_ac,
+     k_next) = jax.random.split(state.key, 8)
+
+    actions = jnp.clip(actions, -CLIP_ACTIONS, CLIP_ACTIONS)
+    if task.act_noise is not None:
+        actions = apply_noise(task.act_noise, k_act, actions,
+                              state.act_corr, state.frame_count)
+
+    need_reset = state.reset_buf > 0
+    # Re-randomize params and redraw correlated noise for resetting envs.
+    new_params = sample_distr(distr, k_params, n)
+    params = jnp.where(need_reset[:, None], new_params, state.params)
+    obs_corr = jnp.where(need_reset[:, None],
+                         jax.random.normal(k_oc, state.obs_corr.shape),
+                         state.obs_corr)
+    act_corr = jnp.where(need_reset[:, None],
+                         jax.random.normal(k_ac, state.act_corr.shape),
+                         state.act_corr)
+    fresh = task.init_state(k_init, params)
+    state_begin = _tree_select(need_reset, fresh, state.task_state)
+    # The reset replaces the physics step for resetting envs.
+    stepped = task.physics_step(state_begin, actions, params, k_phys)
+    task_state = _tree_select(need_reset, state_begin, stepped)
+    rew = task.reward(state_begin, actions, params)
+
+    progress = jnp.where(need_reset, 0, state.progress + 1)
+    timeout = progress >= max_episode_length - 1
+    early = task.early_termination(task_state, params)
+    reset_buf = (timeout | early).astype(jnp.int32)
+
+    obs = task.observe(task_state, params)
+    if task.obs_noise is not None:
+        obs = apply_noise(task.obs_noise, k_obs, obs, obs_corr,
+                          state.frame_count)
+    obs = jnp.clip(obs, -CLIP_OBSERVATIONS, CLIP_OBSERVATIONS)
+
+    new_state = EnvState(
+        task_state=task_state, params=params, progress=progress,
+        reset_buf=reset_buf, frame_count=state.frame_count + 1,
+        obs_corr=obs_corr, act_corr=act_corr, key=k_next)
+    return new_state, obs, rew, reset_buf
+
+
+class VecEnv:
+    """Thin stateful wrapper over the pure env functions, exposing the
+    surface the reference code uses (``reset()``, ``step(act)``,
+    ``task.actor_params_generator``-style param access). The hot paths
+    (PPO rollouts, collection) bypass this and scan the pure functions."""
+
+    def __init__(self, task: Task, seed: int = 0):
+        self.task = task
+        self._distr: Optional[DeviceDistr] = None
+        self._key = jax.random.PRNGKey(seed)
+        self.state: Optional[EnvState] = None
+        self._step_jit = jax.jit(
+            env_step, static_argnames=("task", "max_episode_length"))
+        self._reset_jit = jax.jit(
+            env_full_reset, static_argnames=("task",))
+        self.max_episode_length = task.max_episode_length
+
+    def set_distr(self, device_distr: DeviceDistr):
+        """Sets the params sampling distribution (ParamsGenerator.set_distr,
+        params_generator.py:112-113)."""
+        self._distr = device_distr
+
+    @property
+    def num_envs(self):
+        return self.task.num_envs
+
+    @property
+    def extern_params(self):
+        """Ground-truth params of each env's current episode — the labels
+        the collector reads back (extern_actor_params)."""
+        return self.state.params
+
+    def reset(self):
+        assert self._distr is not None, "call set_distr first"
+        self._key, k = jax.random.split(self._key)
+        frame = (self.state.frame_count if self.state is not None else 0)
+        self.state, obs = self._reset_jit(self.task, self._distr, k, frame)
+        return obs
+
+    def step(self, actions):
+        self.state, obs, rew, done = self._step_jit(
+            self.task, self._distr, self.state, actions,
+            self.max_episode_length)
+        return obs, rew, done, {}

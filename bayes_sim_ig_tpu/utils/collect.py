@@ -1,0 +1,188 @@
+"""Jit-compiled rollout collection for BayesSim training and evaluation.
+
+Replaces the reference's per-step per-env Python dict loop
+(``/root/reference/bayes_sim_ig/utils/collect_trajectories.py:15-93``) with
+round-based, fully on-device collection:
+
+  * one "round" = full re-randomized reset of all envs + a ``lax.scan`` of
+    exactly ``max_episode_length - 1`` steps;
+  * each env contributes its FIRST episode of the round; episodes that
+    early-terminate at step t_done are padded by repeating their last
+    state/action (identical to ``pad_states_actions`` applied per episode,
+    collect_trajectories.py:64-67);
+  * ground-truth param labels are the params sampled at the round's reset
+    (``extern_actor_params`` in the reference);
+  * rounds repeat until ``num_trajs`` episodes are banked.
+
+Divergence (documented): the reference lets early-terminated envs start new
+episodes asynchronously mid-collection; here envs re-synchronize each round.
+Both schemes draw params i.i.d. from the same distribution per episode, so
+the collected data distribution is identical.
+
+Returns (params, states, actions, rewards, imgs) with
+states (N, L, S), actions (N, L, A), L = max_episode_length — the exact
+layout downstream code expects.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..sim.task import env_step, env_full_reset
+
+
+# --------------------------------------------------------------------- #
+# Collection policies (collect_trajectories.py:96-113). All are pure
+# (act, key) -> act transforms of the RL action.
+# --------------------------------------------------------------------- #
+def policy_ones(act, key):
+    return jnp.ones_like(act)
+
+
+def policy_random(act, key):
+    # NB: U[0, 1], not U[-1, 1] — preserved from the reference (:100-101).
+    return jax.random.uniform(key, act.shape, act.dtype)
+
+
+def policy_rl(act, key):
+    return act
+
+
+def policy_rl_randomized(act, key, frac_rnd=0.1):
+    """With prob frac_rnd (one draw per step, whole batch) replace the
+    action tensor with U[-1, 1] (collect_trajectories.py:108-113)."""
+    k1, k2 = jax.random.split(key)
+    rnd = jax.random.uniform(k1, ())
+    random_act = jax.random.uniform(k2, act.shape, act.dtype) * 2.0 - 1.0
+    return jnp.where(rnd < frac_rnd, random_act, act)
+
+
+_POLICY_REGISTRY = {
+    "policy_ones": policy_ones,
+    "policy_random": policy_random,
+    "policy_rl": policy_rl,
+    "policy_rl_randomized": policy_rl_randomized,
+}
+
+
+def get_collect_policy(name: Optional[str]):
+    if name is None or name == "None":
+        return policy_rl
+    if name not in _POLICY_REGISTRY:
+        raise KeyError(f"Unknown collect policy '{name}'. "
+                       f"Available: {sorted(_POLICY_REGISTRY)}")
+    return _POLICY_REGISTRY[name]
+
+
+# --------------------------------------------------------------------- #
+@functools.partial(
+    jax.jit, static_argnames=("task", "policy_apply", "collect_policy",
+                              "max_episode_length"))
+def _collect_round(task, policy_apply, collect_policy, max_episode_length,
+                   policy_params, distr, key):
+    """One synchronized round; returns padded episodes for every env.
+
+    policy_apply: (policy_params, obs, key) -> action (the RL policy).
+    collect_policy: (act, key) -> act transform.
+    """
+    k_reset, k_scan = jax.random.split(key)
+    env_state, obs0 = env_full_reset(task, distr, k_reset)
+    labels = env_state.params  # ground-truth params for this round
+    n_steps = max_episode_length - 1
+
+    def body(carry, step_key):
+        env_state, obs = carry
+        k_act, k_pol = jax.random.split(step_key)
+        act = policy_apply(policy_params, obs, k_act)
+        act = collect_policy(act, k_pol)
+        env_state, obs2, rew, done = env_step(task, distr, env_state, act,
+                                              max_episode_length)
+        return (env_state, obs2), (obs2, act, rew, done)
+
+    keys = jax.random.split(k_scan, n_steps)
+    _, (obs_seq, act_seq, rew_seq, done_seq) = jax.lax.scan(
+        body, (env_state, obs0), keys)
+    # First done step per env (guaranteed <= n_steps - 1 by the timeout).
+    t_done = jnp.argmax(done_seq > 0, axis=0)  # (N,)
+    t_idx = jnp.arange(n_steps)[:, None]
+    gather_t = jnp.minimum(t_idx, t_done[None, :])  # repeat-last padding
+
+    def pad_gather(x):  # (T, N, D) -> (T, N, D) frozen after t_done
+        return jnp.take_along_axis(x, gather_t[:, :, None], axis=0)
+
+    states = jnp.concatenate([obs0[None], pad_gather(obs_seq)], axis=0)
+    # Actions padded to max_episode_length by repeating the last action
+    # (pad_states_actions semantics): one extra padded row.
+    acts = pad_gather(act_seq)
+    acts = jnp.concatenate([acts, acts[-1:]], axis=0)
+    rewards = jnp.sum(rew_seq * (t_idx <= t_done[None, :]), axis=0)
+    # (N, L, D) layout.
+    return (labels, states.transpose(1, 0, 2), acts.transpose(1, 0, 2),
+            rewards)
+
+
+def collect_trajectories(
+        num_trajs: int,
+        ppo,
+        collect_policy_fxn: Optional[Callable] = None,
+        max_traj_len: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        verbose: bool = False,
+        visualize: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, List]:
+    """Collects ``num_trajs`` episodes from ``ppo.vec_env`` (reference call
+    shape, collect_trajectories.py:15-93).
+
+    ``max_traj_len`` overrides episode length to max_traj_len + 1 steps of
+    bookkeeping (collect_trajectories.py:35-37). ``visualize`` renders env 0
+    of the first round via the task's ``render_obs_frame``/``get_img``.
+    """
+    vec_env = ppo.vec_env
+    task = vec_env.task
+    distr = vec_env._distr
+    assert distr is not None, "set the env sampling distribution first"
+    max_episode_length = (task.max_episode_length if max_traj_len is None
+                          else max_traj_len + 1)
+    if key is None:
+        ppo._key, key = jax.random.split(ppo._key)
+    # ppo.policy_apply is a per-instance stable callable, so the jitted
+    # round function does not retrace across calls.
+    policy_apply = ppo.policy_apply
+    collect_policy = (policy_rl if collect_policy_fxn is None
+                      else collect_policy_fxn)
+    n_rounds = -(-num_trajs // task.num_envs)  # ceil
+    all_params, all_states, all_acts, all_rews = [], [], [], []
+    for r in range(n_rounds):
+        key, k_round = jax.random.split(key)
+        labels, states, acts, rews = _collect_round(
+            task, policy_apply, collect_policy, max_episode_length,
+            ppo.train_state.params, distr, k_round)
+        all_params.append(labels)
+        all_states.append(states)
+        all_acts.append(acts)
+        all_rews.append(rews)
+        if verbose:
+            done = min((r + 1) * task.num_envs, num_trajs)
+            print(f"collected {done} trajs")
+    params = jnp.concatenate(all_params, axis=0)[:num_trajs]
+    states = jnp.concatenate(all_states, axis=0)[:num_trajs]
+    actions = jnp.concatenate(all_acts, axis=0)[:num_trajs]
+    rewards = jnp.concatenate(all_rews, axis=0)[:num_trajs]
+    imgs: List = []
+    if visualize:
+        imgs = _render_env0(task, np.asarray(states[0]))
+    return params, states, actions, rewards, imgs
+
+
+def _render_env0(task, obs_traj: np.ndarray) -> List:
+    """Renders one episode's frames from its observation stream."""
+    render = getattr(task, "render_obs_frame", None)
+    if render is None:
+        return []
+    return [render(obs_traj[t]) for t in range(obs_traj.shape[0])]

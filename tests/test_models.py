@@ -1,0 +1,147 @@
+"""Unit tests for MDNN / MDRFF / RFF models."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bayes_sim_ig_tpu.models import MDNN, MDRFF, RFF, get_model_class
+from bayes_sim_ig_tpu.models.mdnn import mdn_loss
+
+
+def _mdnn(**kw):
+    args = dict(input_dim=6, output_dim=2,
+                output_lows=np.zeros(2, np.float32),
+                output_highs=np.ones(2, np.float32) * 2.0,
+                n_gaussians=3, full_covariance=False,
+                hidden_layers=(16, 16), activation="tanh", lr=1e-3, seed=0)
+    args.update(kw)
+    return MDNN(**args)
+
+
+class TestMDNNForward:
+    def test_shapes_and_weight_normalization(self):
+        m = _mdnn()
+        x = jnp.asarray(np.random.RandomState(0).randn(7, 6), jnp.float32)
+        w, mu, l_d, lower = m._forward(m.params, x, jax.random.PRNGKey(1))
+        assert w.shape == (7, 3)
+        assert mu.shape == (7, 2, 3) and l_d.shape == (7, 2, 3)
+        assert lower is None
+        np.testing.assert_allclose(np.asarray(w).sum(1), 1.0, rtol=1e-5)
+        assert (np.asarray(w) >= 1e-5 - 1e-9).all()
+        assert (np.asarray(l_d) > 0).all()  # exp + positive noise
+
+    def test_full_covariance_head(self):
+        m = _mdnn(output_dim=3, output_lows=np.zeros(3, np.float32),
+                  output_highs=np.ones(3, np.float32), full_covariance=True)
+        x = jnp.zeros((4, 6))
+        _, _, _, lower = m._forward(m.params, x, jax.random.PRNGKey(0))
+        assert lower.shape == (4, 3, 3)  # L_size = 3*2/2 = 3
+
+
+class TestMDNLoss:
+    def test_matches_scipy_mixture_nll(self):
+        from scipy.stats import multivariate_normal
+        rs = np.random.RandomState(1)
+        B, D, K = 5, 2, 3
+        w = rs.dirichlet(np.ones(K), size=B).astype(np.float32)
+        mu = rs.randn(B, D, K).astype(np.float32)
+        l_d = np.exp(rs.randn(B, D, K) * 0.3).astype(np.float32)
+        lower = rs.randn(B, D * (D - 1) // 2, K).astype(np.float32) * 0.2
+        y = rs.randn(B, D).astype(np.float32)
+        got = float(mdn_loss(jnp.asarray(w), jnp.asarray(mu),
+                             jnp.asarray(l_d), jnp.asarray(lower),
+                             jnp.asarray(y)))
+        # Oracle in float64 with scipy.
+        tril = np.tril_indices(D, -1)
+        nlls = []
+        for b in range(B):
+            comps = []
+            for k in range(K):
+                Lm = np.diag(l_d[b, :, k]).astype(np.float64)
+                Lm[tril] = lower[b, :, k]
+                S = Lm @ Lm.T
+                comps.append(np.log(w[b, k]) + multivariate_normal.logpdf(
+                    y[b], mu[b, :, k], S))
+            from scipy.special import logsumexp
+            nlls.append(-logsumexp(comps))
+        assert got == pytest.approx(np.mean(nlls), rel=1e-4)
+
+
+class TestTraining:
+    def test_training_reduces_loss_and_recovers_mean(self):
+        # y | x ~ N(Ax + b, small): MDN should learn the conditional mean.
+        rs = np.random.RandomState(2)
+        x = rs.rand(2000, 6).astype(np.float32)
+        A = rs.randn(6, 2).astype(np.float32) * 0.2
+        y = 1.0 + x @ A + rs.randn(2000, 2).astype(np.float32) * 0.02
+        m = _mdnn(lr=5e-3)
+        logs = m.run_training(x, y, n_updates=400, batch_size=100)
+        assert logs["train_loss"][-1] < logs["train_loss"][0]
+        assert logs["test_loss"][-1] < logs["test_loss"][0]
+        mogs = m.predict_MoGs(x[:5])
+        assert len(mogs) == 5
+        for i, mog in enumerate(mogs):
+            mean, _ = mog.calc_mean_and_cov()
+            np.testing.assert_allclose(mean, 1.0 + x[i] @ A, atol=0.15)
+
+    def test_fresh_optimizer_each_call(self):
+        # Two chunked calls must not error and must keep improving.
+        rs = np.random.RandomState(3)
+        x = rs.rand(500, 6).astype(np.float32)
+        y = rs.rand(500, 2).astype(np.float32)
+        m = _mdnn()
+        l1 = m.run_training(x, y, 50, 50)
+        l2 = m.run_training(x, y, 50, 50)
+        assert np.isfinite(l2["train_loss"]).all()
+
+
+class TestRFF:
+    def test_rbf_kernel_approximation(self):
+        # phi(x).phi(y) ~= exp(-||x-y||^2 / (2 sigma^2))
+        rs = np.random.RandomState(4)
+        rff = RFF(n_feat=4000, d=3, sigma=1.5, kernel="RBF",
+                  quasi_random=True)
+        x = rs.randn(10, 3).astype(np.float32) * 0.5
+        feats = np.asarray(rff.to_features(jnp.asarray(x)))
+        gram = feats @ feats.T
+        d2 = ((x[:, None] - x[None]) ** 2).sum(-1)
+        expected = np.exp(-d2 / (2 * 1.5 ** 2))
+        np.testing.assert_allclose(gram, expected, atol=0.05)
+
+    @pytest.mark.parametrize("kernel", ["Laplace", "Matern32", "Matern52"])
+    def test_other_kernels_produce_finite_features(self, kernel):
+        rff = RFF(n_feat=100, d=4, sigma=2.0, kernel=kernel)
+        f = np.asarray(rff.to_features(jnp.ones((3, 4))))
+        assert np.isfinite(f).all()
+        assert f.shape == (3, 100)
+
+    def test_cos_only(self):
+        rff = RFF(n_feat=64, d=2, sigma=1.0, cos_only=True)
+        f = np.asarray(rff.to_features(jnp.zeros((2, 2))))
+        assert f.shape == (2, 64)
+
+
+class TestMDRFF:
+    def test_trains_on_rff_features(self):
+        rs = np.random.RandomState(5)
+        x = rs.rand(800, 4).astype(np.float32)
+        y = (x[:, :2] + 0.1 * rs.randn(800, 2)).astype(np.float32)
+        m = MDRFF(input_dim=4, output_dim=2,
+                  output_lows=np.array([-1.0, -1.0], np.float32),
+                  output_highs=np.array([2.0, 2.0], np.float32),
+                  n_gaussians=2, lr=5e-3, activation="tanh",
+                  full_covariance=False, n_feat=100, kernel="RBF", sigma=2.0)
+        logs = m.run_training(x, y, 300, 100)
+        assert logs["train_loss"][-1] < logs["train_loss"][0]
+        mog = m.predict_MoGs(x[:1])[0]
+        mean, _ = mog.calc_mean_and_cov()
+        np.testing.assert_allclose(mean, x[0, :2], atol=0.25)
+
+
+def test_registry():
+    assert get_model_class("MDNN") is MDNN
+    assert get_model_class("MDRFF") is MDRFF
+    with pytest.raises(KeyError):
+        get_model_class("MLP")
