@@ -182,10 +182,12 @@ def build_params_spec(
                 operations.append(oper)
                 keys.append(key)
 
-            if prop_name in JOINT_PROPS:
+            if prop_name == "dof_properties":
                 # One property object with array-valued attributes: the
-                # reference walks attr outer, dof/tendon index inner
-                # (params_generator.py:167-187 ndarray branch).
+                # reference walks attr outer, dof index inner
+                # (params_generator.py:167-187 ndarray branch). Tendon
+                # properties are a LIST of per-tendon objects and take the
+                # per-object branch below.
                 for attr_name, attr_cfg in prop_attrs.items():
                     lo_hi = np.asarray(attr_cfg["range"], np.float64)
                     oper = attr_cfg["operation"]

@@ -126,9 +126,16 @@ class RFF:
         return rff_kernel.sample_freqs((m, d))
 
     def to_features(self, x):
-        """Feature map; jit/vmap/grad-safe."""
-        inner = jnp.dot(x, self.coeff)
+        """Feature map. On TPU the cos/sin variant runs as a fused Pallas
+        kernel (ops/rff_kernel.py); elsewhere (and for cos-only) the jnp
+        path is used, which is also the differentiable-through-inputs
+        path."""
         if self.cos_only:
+            inner = jnp.dot(x, self.coeff)
             return self.a * jnp.cos(inner + self.offset)
+        if x.ndim == 2:
+            from ..ops import rff_features
+            return rff_features(x, self.coeff, self.a)
+        inner = jnp.dot(x, self.coeff)
         return self.a * jnp.concatenate(
             [jnp.cos(inner), jnp.sin(inner)], axis=-1)

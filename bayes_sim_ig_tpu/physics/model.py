@@ -1,0 +1,151 @@
+"""Articulated-model description: static topology + per-env dynamic params.
+
+The reference gets its articulated models from Isaac Gym assets
+(URDF/MJCF loaded by PhysX); here a model is declared in code as a
+kinematic tree with static topology (python-level, baked into the trace)
+and *parameters as data*: masses, inertias, joint stiffness/damping/
+friction/armature and geometry scales are leading-axis-batched arrays so
+domain randomization never rebuilds a scene (SURVEY.md §7 design stance).
+
+Joint types: 'free' (6 dof; q = [pos(3), quat(4)]), 'revolute',
+'prismatic' (1 dof each), 'fixed' (0 dof). Geoms attach to links for
+penalty contacts (see contact.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+JOINT_DOF = {"free": 6, "revolute": 1, "prismatic": 1, "fixed": 0}
+JOINT_NQ = {"free": 7, "revolute": 1, "prismatic": 1, "fixed": 0}
+
+
+@dataclass
+class Geom:
+    """Collision geometry attached to a link (contact.py consumes these)."""
+    link: int
+    kind: str                  # 'sphere' | 'capsule' | 'box' | 'point'
+    size: Tuple[float, ...]    # sphere: (r,); capsule: (r, half_len);
+    #                            box: (hx, hy, hz); point: ()
+    offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    axis: Tuple[float, float, float] = (0.0, 0.0, 1.0)  # capsule axis
+
+
+@dataclass
+class LinkSpec:
+    name: str
+    parent: int                       # -1 for root
+    joint_type: str
+    joint_axis: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    # Fixed transform from the parent link frame to this joint's frame:
+    joint_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    joint_rot: Optional[np.ndarray] = None  # 3x3; None = identity
+    mass: float = 1.0
+    com: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    inertia: Tuple[float, float, float] = (0.01, 0.01, 0.01)  # diag, @COM
+    # Joint dynamics defaults (overridable per env via DynParams):
+    stiffness: float = 0.0
+    damping: float = 0.0
+    friction: float = 0.0
+    armature: float = 0.0
+    limit_lower: float = -1e9
+    limit_upper: float = 1e9
+    effort: float = 1e9               # actuator torque/force limit
+
+
+class ArticulatedModel:
+    """Static description of one articulated mechanism."""
+
+    def __init__(self, links: Sequence[LinkSpec],
+                 geoms: Sequence[Geom] = (),
+                 fixed_base: bool = True):
+        self.links = list(links)
+        self.geoms = list(geoms)
+        self.fixed_base = fixed_base
+        self.nb = len(self.links)
+        self.parent = [l.parent for l in self.links]
+        self.joint_types = [l.joint_type for l in self.links]
+        # dof/q bookkeeping
+        self.q_off: List[int] = []
+        self.v_off: List[int] = []
+        nq = nv = 0
+        for l in self.links:
+            self.q_off.append(nq)
+            self.v_off.append(nv)
+            nq += JOINT_NQ[l.joint_type]
+            nv += JOINT_DOF[l.joint_type]
+        self.nq, self.nv = nq, nv
+        self.joint_axis = np.array([l.joint_axis for l in self.links],
+                                   np.float64)
+        self.joint_pos = np.array([l.joint_pos for l in self.links],
+                                  np.float64)
+        self.joint_rot = np.stack([
+            np.eye(3) if l.joint_rot is None else np.asarray(l.joint_rot)
+            for l in self.links])
+        self.mass0 = np.array([l.mass for l in self.links])
+        self.com0 = np.array([l.com for l in self.links])
+        self.inertia0 = np.array([l.inertia for l in self.links])
+        # Per-dof defaults (1-dof joints only; free joints get zeros).
+        def dof_vec(attr):
+            out = np.zeros(self.nv)
+            for i, l in enumerate(self.links):
+                if JOINT_DOF[l.joint_type] == 1:
+                    out[self.v_off[i]] = getattr(l, attr)
+            return out
+        self.stiffness0 = dof_vec("stiffness")
+        self.damping0 = dof_vec("damping")
+        self.friction0 = dof_vec("friction")
+        self.armature0 = dof_vec("armature")
+        self.limit_lower = dof_vec("limit_lower")
+        self.limit_upper = dof_vec("limit_upper")
+        self.effort = dof_vec("effort")
+        self.link_index = {l.name: i for i, l in enumerate(self.links)}
+        self.dof_names = [l.name for l in self.links
+                          if JOINT_DOF[l.joint_type] == 1]
+        self.body_names = [l.name for l in self.links]
+
+    def neutral_q(self) -> np.ndarray:
+        """q with identity free-joint quaternions and zero joint angles."""
+        q = np.zeros(self.nq)
+        for i, l in enumerate(self.links):
+            if l.joint_type == "free":
+                q[self.q_off[i] + 3] = 1.0  # quat w
+        return q
+
+
+class DynParams(NamedTuple):
+    """Per-env dynamic parameters (a pytree: vmap/jit-safe; single-env
+    shapes documented)."""
+    mass: jnp.ndarray        # (nb,)
+    com: jnp.ndarray         # (nb, 3)
+    inertia: jnp.ndarray     # (nb, 3) diagonal @ COM
+    stiffness: jnp.ndarray   # (nv,)
+    damping: jnp.ndarray     # (nv,)
+    friction: jnp.ndarray    # (nv,) dry joint friction torque
+    armature: jnp.ndarray    # (nv,)
+    gravity: jnp.ndarray     # (3,)
+    # Contact material / geometry scaling:
+    contact_friction: jnp.ndarray    # (ngeom,) tangential mu per geom
+    restitution: jnp.ndarray         # (ngeom,)
+    scale: jnp.ndarray               # () uniform geometry/length scale
+
+    @staticmethod
+    def defaults(model: ArticulatedModel, gravity=(0.0, 0.0, -9.81)):
+        ng = max(len(model.geoms), 1)
+        return DynParams(
+            mass=jnp.asarray(model.mass0, jnp.float32),
+            com=jnp.asarray(model.com0, jnp.float32),
+            inertia=jnp.asarray(model.inertia0, jnp.float32),
+            stiffness=jnp.asarray(model.stiffness0, jnp.float32),
+            damping=jnp.asarray(model.damping0, jnp.float32),
+            friction=jnp.asarray(model.friction0, jnp.float32),
+            armature=jnp.asarray(model.armature0, jnp.float32),
+            gravity=jnp.asarray(gravity, jnp.float32),
+            contact_friction=jnp.ones(ng, jnp.float32),
+            restitution=jnp.zeros(ng, jnp.float32),
+            scale=jnp.asarray(1.0, jnp.float32))

@@ -5,9 +5,26 @@ from .task import (
     CLIP_OBSERVATIONS, CLIP_ACTIONS,
 )
 from .pendulum import Pendulum
+from .cartpole import Cartpole
+from .ant import Ant
+from .flyers import Ingenuity, Quadcopter
+from .ball_balance import BallBalance
+from .anymal import Anymal
+from .humanoid import Humanoid
+from .franka_cabinet import FrankaCabinet
+from .shadow_hand import ShadowHand
 
 _TASK_REGISTRY = {
     "Pendulum": Pendulum,
+    "Cartpole": Cartpole,
+    "Ant": Ant,
+    "Ingenuity": Ingenuity,
+    "Quadcopter": Quadcopter,
+    "BallBalance": BallBalance,
+    "Anymal": Anymal,
+    "Humanoid": Humanoid,
+    "FrankaCabinet": FrankaCabinet,
+    "ShadowHand": ShadowHand,
 }
 
 
@@ -30,5 +47,6 @@ def make_env(task_name: str, cfg: dict, seed: int = 0) -> VecEnv:
 
 
 __all__ = ["Task", "EnvState", "VecEnv", "env_step", "env_full_reset",
-           "Pendulum", "make_env", "register_task", "available_tasks",
+           "Pendulum", "Cartpole", "Ant", "Ingenuity", "Quadcopter",
+           "make_env", "register_task", "available_tasks",
            "CLIP_OBSERVATIONS", "CLIP_ACTIONS"]

@@ -1,0 +1,214 @@
+"""ANYmal quadruped locomotion with velocity-command tracking.
+
+The reference wraps Isaac Gym's closed-source Anymal
+(``/root/reference/bayes_sim_ig/sim/ig_env_wrappers.py:64-103``). Rebuilt
+on the articulated engine: box base + four 3-dof legs (HAA abduction-x,
+HFE flexion-y, KFE knee-y) with foot spheres, position-PD actuation
+(kp 85, kd 2, actionScale 0.5 — the reference config's ``control``
+section), default joint angles from cfg/anymal.yaml's
+``defaultJointAngles``, and episode length ``episodeLength_s * 60``.
+
+DR layout matches the reference: 13 per-body mass multipliers (base +
+LF/LH/RF/RH x hip/thigh/shank), the only randomized property.
+
+Obs (48, IG anymal layout): base linvel*2.0, base angvel*0.25, projected
+gravity, commands (vx, vy, yaw-rate)*scales, dof pos - default, dof
+vel*0.05, previous actions. Commands are resampled per episode. Reward:
+exp-tracking of commanded linear/yaw velocity minus torque and joint-vel
+penalties; termination on base contact (height/orientation proxy).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..dr import TaskNames, build_params_spec
+from ..physics import (
+    ArticulatedModel, LinkSpec, Geom, DynParams,
+    forward_kinematics, forward_dynamics, integrate, clamp_limits,
+    ground_contact_forces,
+)
+from ..physics.spatial import quat_to_rot
+from .task import Task
+
+LEGS = [("LF", 1, 1), ("LH", -1, 1), ("RF", 1, -1), ("RH", -1, -1)]
+BASE_Z = 0.62
+THIGH_LEN = 0.25
+SHANK_LEN = 0.33
+DEFAULT_ANGLES = {  # cfg/anymal.yaml defaultJointAngles
+    "LF": (0.03, 0.4, -0.8), "LH": (0.03, -0.4, 0.8),
+    "RF": (-0.03, 0.4, -0.8), "RH": (-0.03, -0.4, 0.8),
+}
+
+
+def build_anymal_model() -> ArticulatedModel:
+    links = [LinkSpec("base", parent=-1, joint_type="free", mass=16.0,
+                      inertia=(0.15, 0.6, 0.6))]
+    geoms = [Geom(link=0, kind="box", size=(0.26, 0.15, 0.08))]
+    for nm, fx, fy in LEGS:
+        px, py = 0.28 * fx, 0.115 * fy
+        hip = len(links)
+        links.append(LinkSpec(
+            f"{nm}_HIP", parent=0, joint_type="revolute",
+            joint_axis=(1, 0, 0), joint_pos=(px, py, 0.0),
+            mass=1.5, com=(0.0, 0.06 * fy, 0.0),
+            inertia=(0.005, 0.005, 0.005), damping=0.5,
+            limit_lower=-0.7, limit_upper=0.7, effort=40.0))
+        thigh = len(links)
+        links.append(LinkSpec(
+            f"{nm}_THIGH", parent=hip, joint_type="revolute",
+            joint_axis=(0, 1, 0), joint_pos=(0.0, 0.1 * fy, 0.0),
+            mass=1.2, com=(0.0, 0.0, -THIGH_LEN / 2),
+            inertia=(0.01, 0.01, 0.002), damping=0.5,
+            limit_lower=-1.5, limit_upper=1.5, effort=40.0))
+        shank = len(links)
+        links.append(LinkSpec(
+            f"{nm}_SHANK", parent=thigh, joint_type="revolute",
+            joint_axis=(0, 1, 0), joint_pos=(0.0, 0.0, -THIGH_LEN),
+            mass=0.5, com=(0.0, 0.0, -SHANK_LEN / 2),
+            inertia=(0.006, 0.006, 0.001), damping=0.5,
+            limit_lower=-2.2, limit_upper=2.2, effort=40.0))
+        geoms.append(Geom(link=shank, kind="sphere", size=(0.03,),
+                          offset=(0.0, 0.0, -SHANK_LEN)))
+    return ArticulatedModel(links, geoms, fixed_base=False)
+
+
+class AnymalState(NamedTuple):
+    q: jnp.ndarray
+    v: jnp.ndarray
+    commands: jnp.ndarray      # (N, 3) vx, vy, yaw-rate targets
+    prev_actions: jnp.ndarray  # (N, 12)
+
+
+class Anymal(Task):
+    name = "Anymal"
+    obs_dim = 48
+    act_dim = 12
+    dt = 1.0 / 60.0
+    substeps = 2
+    kp = 85.0
+    kd = 2.0
+    action_scale = 0.5
+    lin_vel_scale = 2.0
+    ang_vel_scale = 0.25
+    dof_vel_scale = 0.05
+
+    def __init__(self, cfg):
+        env_cfg = cfg["env"]
+        self.num_envs = int(env_cfg["numEnvs"])
+        eplen_s = float(env_cfg.get("episodeLength_s", 50))
+        self.max_episode_length = int(eplen_s / self.dt)
+        self.model = build_anymal_model()
+        m = self.model
+        self._act_v_idx = np.array([m.v_off[i] for i in range(m.nb)
+                                    if m.joint_types[i] == "revolute"])
+        self._act_q_idx = np.array([m.q_off[i] for i in range(m.nb)
+                                    if m.joint_types[i] == "revolute"])
+        defaults = []
+        for nm, *_ in LEGS:
+            defaults += list(DEFAULT_ANGLES[nm])
+        self._default_dof = np.array(defaults, np.float32)
+        self.params_spec = build_params_spec(
+            cfg["task"]["randomization_params"],
+            actor_names_map={"anymal": TaskNames(
+                body_names=m.body_names, shape_names=m.body_names,
+                dof_names=[f"{nm}_{j}" for nm, *_ in LEGS
+                           for j in ("HAA", "HFE", "KFE")],
+                tendon_names=[])},
+            defaults_map={"anymal": {
+                "rigid_body_properties": {"mass": m.mass0.copy()},
+            }},
+            plot_names_skip_patterns=cfg["task"].get(
+                "plotNamesSkipPatterns"))
+        self._mass_dims = self.params_spec.indices_of(
+            "rigid_body_properties", "mass")
+        self.setup_noise(cfg["task"]["randomization_params"])
+
+    def _dyn_params(self, params_row) -> DynParams:
+        base = DynParams.defaults(self.model)
+        mass = base.mass * params_row[jnp.asarray(self._mass_dims)]
+        inertia = base.inertia * (mass / base.mass)[:, None]
+        return base._replace(mass=mass, inertia=inertia)
+
+    def init_state(self, key, params):
+        n = params.shape[0]
+        m = self.model
+        k1, k2, k3 = jax.random.split(key, 3)
+        q0 = jnp.asarray(m.neutral_q(), jnp.float32).at[2].set(BASE_Z)
+        q0 = q0.at[jnp.asarray(self._act_q_idx)].set(
+            jnp.asarray(self._default_dof))
+        q = jnp.tile(q0, (n, 1))
+        jitter = jax.random.uniform(k1, (n, 12), minval=-0.05,
+                                    maxval=0.05)
+        q = q.at[:, jnp.asarray(self._act_q_idx)].add(jitter)
+        v = jnp.zeros((n, m.nv))
+        commands = jax.random.uniform(
+            k2, (n, 3), minval=jnp.array([-1.0, -0.3, -0.5]),
+            maxval=jnp.array([1.0, 0.3, 0.5]))
+        return AnymalState(q=q, v=v, commands=commands,
+                           prev_actions=jnp.zeros((n, 12)))
+
+    def _single_step(self, q, v, actions, params_row, key):
+        m = self.model
+        dp = self._dyn_params(params_row)
+        h = self.dt / self.substeps
+        targets = (jnp.asarray(self._default_dof)
+                   + jnp.clip(actions, -1, 1) * self.action_scale)
+        act_v = jnp.asarray(self._act_v_idx)
+        act_q = jnp.asarray(self._act_q_idx)
+        for _ in range(self.substeps):
+            tau = jnp.zeros(m.nv).at[act_v].set(
+                jnp.clip(self.kp * (targets - q[act_q])
+                         - self.kd * v[act_v], -80.0, 80.0))
+            kin = forward_kinematics(m, q, v, dp)
+            f_ext = ground_contact_forces(m, kin, dp, dt=h)
+            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
+            q, v = integrate(m, q, v, qdd, h)
+            q, v = clamp_limits(m, q, v)
+        return q, v
+
+    def physics_step(self, state, actions, params, key):
+        q, v = jax.vmap(self._single_step, in_axes=(0, 0, 0, 0, None))(
+            state.q, state.v, actions, params, key)
+        return AnymalState(q=q, v=v, commands=state.commands,
+                           prev_actions=jnp.clip(actions, -1, 1))
+
+    def _base_frames(self, state):
+        R = jax.vmap(quat_to_rot)(state.q[:, 3:7])
+        v_b = state.v[:, 3:6]
+        w_b = state.v[:, 0:3]
+        return R, v_b, w_b
+
+    def observe(self, state, params):
+        R, v_b, w_b = self._base_frames(state)
+        grav = jnp.einsum("nji,j->ni", R, jnp.array([0.0, 0.0, -1.0]))
+        cmd_scaled = state.commands * jnp.array(
+            [self.lin_vel_scale, self.lin_vel_scale, self.ang_vel_scale])
+        dof_pos = state.q[:, jnp.asarray(self._act_q_idx)] \
+            - jnp.asarray(self._default_dof)
+        dof_vel = state.v[:, jnp.asarray(self._act_v_idx)]
+        return jnp.concatenate([
+            v_b * self.lin_vel_scale, w_b * self.ang_vel_scale, grav,
+            cmd_scaled, dof_pos, dof_vel * self.dof_vel_scale,
+            state.prev_actions], axis=-1)
+
+    def reward(self, state, actions, params):
+        R, v_b, w_b = self._base_frames(state)
+        lin_err = jnp.sum(
+            (state.commands[:, :2] - v_b[:, :2]) ** 2, axis=-1)
+        ang_err = (state.commands[:, 2] - w_b[:, 2]) ** 2
+        rew = (jnp.exp(-lin_err / 0.25) + 0.5 * jnp.exp(-ang_err / 0.25)
+               - 0.02 * jnp.sum(jnp.clip(actions, -1, 1) ** 2, axis=-1))
+        return jnp.where(self._base_down(state), -2.0, rew)
+
+    def _base_down(self, state):
+        R = jax.vmap(quat_to_rot)(state.q[:, 3:7])
+        return (state.q[:, 2] < 0.3) | (R[:, 2, 2] < 0.6)
+
+    def early_termination(self, state, params):
+        return self._base_down(state)

@@ -1,0 +1,503 @@
+"""ShadowHand cube-reorientation task (26 hand bodies, 24 dofs, 4 coupled
+tendons, free cube, goal orientation).
+
+The reference wraps Isaac Gym's closed-source ShadowHand
+(``/root/reference/bayes_sim_ig/sim/ig_env_wrappers.py:314-371``). Rebuilt
+as: a fixed, palm-up Shadow-like hand — wrist (WRJ1/WRJ0), four fingers
+(FF/MF/RF: J3 abduction + J2/J1/J0 flexion; LF adds the J4 metacarpal
+roll), a 5-dof thumb — plus a cube resting on the palm. Fingertip spheres
+contact the cube's six face planes; the cube's corner points contact the
+palm plane. The J0/J1 pairs of the four fingers are coupled by tendon
+springs whose stiffness is domain-randomized.
+
+DR layout matches the reference cfg/shadow_hand.yaml walk order: actor
+'hand' -> 4 additive tendon-stiffness dims (T_FFJ1c..T_LFJ1c), then 26
+body-mass multipliers; actor 'object' -> 1 scale dim + 1 mass multiplier:
+32 params total (the README's "32 params" ShadowHand example,
+reference README.md:165). The config's scheduled correlated obs/action
+noise is wired through the task noise hooks; the sim_params gravity
+randomization is drawn per episode into the task state.
+
+Obs (89, our layout — IG's 211-dim full_state includes force sensors and
+torques we do not replicate): dof pos (24), dof vel (24), cube pos rel
+palm (3), cube quat (4), cube lin/ang vel (6), goal quat (4), quat
+difference (4), previous actions (20). Actions (20): position targets for
+the actuated dofs (J1s follow through the tendons). Reward: IG recipe
+with the reference constants (rotation distance, action penalty, reach
+bonus 250, fall distance 0.24).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..dr import TaskNames, build_params_spec
+from ..physics import (
+    ArticulatedModel, LinkSpec, Geom, DynParams,
+    forward_kinematics, forward_dynamics, integrate, clamp_limits,
+)
+from ..physics.contact import sphere_plane_pair_forces
+from ..physics.spatial import quat_to_rot, quat_mul
+from .task import Task
+
+HAND_BODIES = (
+    ["robot0:hand mount", "robot0:forearm", "robot0:wrist", "robot0:palm"]
+    + [f"robot0:{f}{seg}" for f in ("ff", "mf", "rf")
+       for seg in ("knuckle", "proximal", "middle", "distal")]
+    + ["robot0:lfmetacarpal"]
+    + [f"robot0:lf{seg}" for seg in ("knuckle", "proximal", "middle",
+                                     "distal")]
+    + ["robot0:thbase", "robot0:thproximal", "robot0:thhub",
+       "robot0:thmiddle", "robot0:thdistal"])
+assert len(HAND_BODIES) == 26
+
+TENDONS = ["T_FFJ1c", "T_MFJ1c", "T_RFJ1c", "T_LFJ1c"]
+# 24 dof names in tree order (wrist, FF/MF/RF, LF incl. J4, thumb).
+DOF_NAMES = (
+    ["robot0:WRJ1", "robot0:WRJ0"]
+    + [f"robot0:{f}J{j}" for f in ("FF", "MF", "RF") for j in (3, 2, 1, 0)]
+    + [f"robot0:LFJ{j}" for j in (4, 3, 2, 1, 0)]
+    + [f"robot0:THJ{j}" for j in (4, 3, 2, 1, 0)])
+PALM_Z = 0.3          # palm top surface height
+CUBE_HALF = 0.0325
+FINGER_SEG = (0.045, 0.025, 0.022)  # proximal/middle/distal lengths
+FALL_DIST = 0.24
+
+
+def build_hand_model():
+    """Returns (model, metadata) — hand fixed at origin, palm up, fingers
+    pointing +x; cube free above the palm."""
+    links = [LinkSpec("mount", parent=-1, joint_type="fixed", mass=0.1,
+                      inertia=(1e-4,) * 3, joint_pos=(0, 0, PALM_Z - 0.1))]
+    idx = {"mount": 0}
+
+    def add(name, parent, jt, **kw):
+        i = len(links)
+        geom = kw.pop("geom", None)
+        links.append(LinkSpec(name, parent=idx[parent], joint_type=jt,
+                              **kw))
+        idx[name] = i
+        if geom is not None:
+            geoms.append(Geom(link=i, **geom))
+        return i
+
+    geoms = []
+    add("forearm", "mount", "fixed", mass=1.8, inertia=(0.002,) * 3)
+    add("wrist", "forearm", "revolute", joint_axis=(0, 1, 0),
+        joint_pos=(0, 0, 0.05), mass=0.3, inertia=(1e-4,) * 3,
+        damping=0.5, limit_lower=-0.49, limit_upper=0.14)   # WRJ1
+    add("palm", "wrist", "revolute", joint_axis=(1, 0, 0),
+        joint_pos=(0, 0, 0.05), mass=0.3, com=(0.04, 0, 0),
+        inertia=(3e-4,) * 3, damping=0.5,
+        limit_lower=-0.698, limit_upper=0.489)              # WRJ0
+    # Regular fingers at palm's +x edge, spread in y.
+    finger_y = {"ff": 0.033, "mf": 0.011, "rf": -0.011, "lf": -0.033}
+    for f in ("ff", "mf", "rf", "lf"):
+        y = finger_y[f]
+        parent = "palm"
+        base_x = 0.09
+        if f == "lf":
+            add("lfmetacarpal", "palm", "revolute",
+                joint_axis=(1, 0, 0), joint_pos=(0.06, y, 0.0),
+                mass=0.04, inertia=(1e-5,) * 3, damping=0.1,
+                limit_lower=0.0, limit_upper=0.785)          # LFJ4
+            parent, base_x = "lfmetacarpal", 0.03
+        add(f"{f}knuckle", parent, "revolute", joint_axis=(0, 0, 1),
+            joint_pos=(base_x, y if parent == "palm" else 0.0, 0.0),
+            mass=0.01, inertia=(1e-6,) * 3, damping=0.1,
+            limit_lower=-0.349, limit_upper=0.349)           # J3 abduction
+        add(f"{f}proximal", f"{f}knuckle", "revolute",
+            joint_axis=(0, -1, 0), mass=0.03,
+            com=(FINGER_SEG[0] / 2, 0, 0), inertia=(1e-5,) * 3,
+            damping=0.1, limit_lower=0.0, limit_upper=1.571)  # J2
+        add(f"{f}middle", f"{f}proximal", "revolute",
+            joint_axis=(0, -1, 0), joint_pos=(FINGER_SEG[0], 0, 0),
+            mass=0.02, com=(FINGER_SEG[1] / 2, 0, 0),
+            inertia=(5e-6,) * 3, damping=0.1,
+            limit_lower=0.0, limit_upper=1.571)              # J1
+        add(f"{f}distal", f"{f}middle", "revolute",
+            joint_axis=(0, -1, 0), joint_pos=(FINGER_SEG[1], 0, 0),
+            mass=0.02, com=(FINGER_SEG[2] / 2, 0, 0),
+            inertia=(5e-6,) * 3, damping=0.1,
+            limit_lower=0.0, limit_upper=1.571,              # J0
+            geom=dict(kind="sphere", size=(0.009,),
+                      offset=(FINGER_SEG[2], 0, 0)))
+    # Thumb: 5 dofs from the palm's -y side.
+    add("thbase", "palm", "revolute", joint_axis=(0, 0, 1),
+        joint_pos=(0.03, -0.04, 0.0), mass=0.04, inertia=(1e-5,) * 3,
+        damping=0.1, limit_lower=-1.047, limit_upper=1.047)  # THJ4
+    add("thproximal", "thbase", "revolute", joint_axis=(1, 0, 0),
+        mass=0.04, com=(0.02, -0.02, 0), inertia=(1e-5,) * 3,
+        damping=0.1, limit_lower=0.0, limit_upper=1.222)     # THJ3
+    add("thhub", "thproximal", "revolute", joint_axis=(0, 1, 0),
+        joint_pos=(0.03, -0.03, 0), mass=0.02, inertia=(5e-6,) * 3,
+        damping=0.1, limit_lower=-0.209, limit_upper=0.209)  # THJ2
+    add("thmiddle", "thhub", "revolute", joint_axis=(0, -1, 0),
+        mass=0.02, com=(0.016, 0, 0), inertia=(5e-6,) * 3,
+        damping=0.1, limit_lower=-0.524, limit_upper=0.524)  # THJ1
+    add("thdistal", "thmiddle", "revolute", joint_axis=(0, -1, 0),
+        joint_pos=(0.032, 0, 0), mass=0.02, com=(0.014, 0, 0),
+        inertia=(5e-6,) * 3, damping=0.1,
+        limit_lower=0.0, limit_upper=1.571,                  # THJ0
+        geom=dict(kind="sphere", size=(0.009,),
+                  offset=(0.028, 0, 0)))
+    cube = add("cube", "mount", "free", mass=0.08,
+               inertia=(6e-5,) * 3)
+    model = ArticulatedModel(links, geoms, fixed_base=False)
+    fingertips = [idx[f"{f}distal"] for f in ("ff", "mf", "rf", "lf")]
+    fingertips.append(idx["thdistal"])
+    # Internal link index per DR body name (mount covers 'hand mount').
+    name_map = {"robot0:hand mount": idx["mount"],
+                "robot0:forearm": idx["forearm"],
+                "robot0:wrist": idx["wrist"],
+                "robot0:palm": idx["palm"],
+                "robot0:lfmetacarpal": idx["lfmetacarpal"],
+                "robot0:thbase": idx["thbase"],
+                "robot0:thproximal": idx["thproximal"],
+                "robot0:thhub": idx["thhub"],
+                "robot0:thmiddle": idx["thmiddle"],
+                "robot0:thdistal": idx["thdistal"]}
+    for f in ("ff", "mf", "rf", "lf"):
+        for seg in ("knuckle", "proximal", "middle", "distal"):
+            name_map[f"robot0:{f}{seg}"] = idx[f"{f}{seg}"]
+    # Tendon-coupled (J1, J0) dof pairs per finger.
+    tendon_pairs = [(idx[f"{f}middle"], idx[f"{f}distal"])
+                    for f in ("ff", "mf", "rf", "lf")]
+    return model, idx, fingertips, name_map, tendon_pairs, cube
+
+
+# Cube face (normal, point) table in cube frame, unit half-size.
+_FACES = [((1, 0, 0), (1, 0, 0)), ((-1, 0, 0), (-1, 0, 0)),
+          ((0, 1, 0), (0, 1, 0)), ((0, -1, 0), (0, -1, 0)),
+          ((0, 0, 1), (0, 0, 1)), ((0, 0, -1), (0, 0, -1))]
+_CORNERS = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1)
+            for sz in (-1, 1)]
+
+
+class HandState(NamedTuple):
+    q: jnp.ndarray
+    v: jnp.ndarray
+    goal_quat: jnp.ndarray     # (N, 4)
+    prev_actions: jnp.ndarray  # (N, 20)
+    gravity_dz: jnp.ndarray    # (N,) per-episode gravity perturbation
+
+
+def _random_quat(key, n):
+    u = jax.random.uniform(key, (n, 3))
+    q = jnp.stack([
+        jnp.sqrt(1 - u[:, 0]) * jnp.sin(2 * jnp.pi * u[:, 1]),
+        jnp.sqrt(1 - u[:, 0]) * jnp.cos(2 * jnp.pi * u[:, 1]),
+        jnp.sqrt(u[:, 0]) * jnp.sin(2 * jnp.pi * u[:, 2]),
+        jnp.sqrt(u[:, 0]) * jnp.cos(2 * jnp.pi * u[:, 2])], axis=1)
+    return q[:, [3, 0, 1, 2]]  # (w, x, y, z)
+
+
+class ShadowHand(Task):
+    name = "ShadowHand"
+    obs_dim = 89
+    act_dim = 20
+    dt = 1.0 / 60.0
+    substeps = 2
+
+    def __init__(self, cfg):
+        env_cfg = cfg["env"]
+        self.num_envs = int(env_cfg["numEnvs"])
+        self.max_episode_length = int(env_cfg.get("episodeLength", 600))
+        self.rot_eps = float(env_cfg.get("rotEps", 0.1))
+        self.rot_reward_scale = float(env_cfg.get("rotRewardScale", 1.0))
+        self.dist_reward_scale = float(
+            env_cfg.get("distRewardScale", -10.0))
+        self.action_penalty_scale = float(
+            env_cfg.get("actionPenaltyScale", -0.0002))
+        self.reach_goal_bonus = float(env_cfg.get("reachGoalBonus", 250))
+        self.fall_dist = float(env_cfg.get("fallDistance", FALL_DIST))
+        self.fall_penalty = float(env_cfg.get("fallPenalty", 0.0))
+        (self.model, self._idx, self._fingertips, name_map,
+         self._tendon_pairs, self._cube) = build_hand_model()
+        m = self.model
+        self._cube_q = m.q_off[self._cube]
+        self._cube_v = m.v_off[self._cube]
+        self._palm = self._idx["palm"]
+        # All 24 hand dofs in tree order; the four J1 (middle) dofs are
+        # tendon-driven, the other 20 are actuated.
+        self._hand_dof_links = [i for i in range(m.nb)
+                                if m.joint_types[i] == "revolute"]
+        assert len(self._hand_dof_links) == 24
+        coupled = {p[0] for p in self._tendon_pairs}
+        self._actuated_links = [i for i in self._hand_dof_links
+                                if i not in coupled]
+        assert len(self._actuated_links) == 20
+        self._dof_q = np.array([m.q_off[i] for i in self._hand_dof_links])
+        self._dof_v = np.array([m.v_off[i] for i in self._hand_dof_links])
+        self._act_q = np.array([m.q_off[i] for i in self._actuated_links])
+        self._act_v = np.array([m.v_off[i] for i in self._actuated_links])
+        self._act_lo = jnp.asarray([m.limit_lower[m.v_off[i]]
+                                    for i in self._actuated_links])
+        self._act_hi = jnp.asarray([m.limit_upper[m.v_off[i]]
+                                    for i in self._actuated_links])
+        # DR spec: hand tendons + hand masses, then object scale + mass.
+        hand_mass = np.array([m.mass0[name_map[b]] for b in HAND_BODIES])
+        self.params_spec = build_params_spec(
+            cfg["task"]["randomization_params"],
+            actor_names_map={
+                "hand": TaskNames(body_names=HAND_BODIES,
+                                  shape_names=HAND_BODIES,
+                                  dof_names=DOF_NAMES,
+                                  tendon_names=TENDONS),
+                "object": TaskNames(body_names=["object"],
+                                    shape_names=["object"],
+                                    dof_names=[], tendon_names=[]),
+            },
+            defaults_map={
+                "hand": {
+                    "tendon_properties": {"stiffness": np.zeros(4),
+                                          "damping": np.ones(4)},
+                    "dof_properties": {"stiffness": np.ones(24),
+                                       "damping": np.ones(24)},
+                    "rigid_body_properties": {"mass": hand_mass},
+                    "rigid_shape_properties": {"friction": np.ones(26)},
+                },
+                "object": {
+                    "scale": {"": 1.0},
+                    "rigid_body_properties": {"mass": np.array([0.08])},
+                    "rigid_shape_properties": {"friction": np.ones(1)},
+                },
+            },
+            plot_names_skip_patterns=cfg["task"].get(
+                "plotNamesSkipPatterns"))
+        keys = self.params_spec.keys
+        self._tendon_dims = [i for i, k in enumerate(keys)
+                             if k[1] == "tendon_properties"
+                             and k[3] == "stiffness"]
+        # Optional dims only present in the 'shadow_hand_more' config:
+        self._tendon_damp_dims = [i for i, k in enumerate(keys)
+                                  if k[1] == "tendon_properties"
+                                  and k[3] == "damping"]
+        self._dof_stiff_dims = [i for i, k in enumerate(keys)
+                                if k[0] == "hand"
+                                and k[1] == "dof_properties"
+                                and k[3] == "stiffness"]
+        self._dof_damp_dims = [i for i, k in enumerate(keys)
+                               if k[0] == "hand"
+                               and k[1] == "dof_properties"
+                               and k[3] == "damping"]
+        self._hand_fric_dims = [i for i, k in enumerate(keys)
+                                if k[0] == "hand"
+                                and k[1] == "rigid_shape_properties"
+                                and k[3] == "friction"]
+        self._obj_fric_dims = [i for i, k in enumerate(keys)
+                               if k[0] == "object"
+                               and k[1] == "rigid_shape_properties"
+                               and k[3] == "friction"]
+        self._hand_mass_dims = [i for i, k in enumerate(keys)
+                                if k[0] == "hand" and k[3] == "mass"]
+        self._scale_dim = [i for i, k in enumerate(keys)
+                           if k[1] == "scale"][0]
+        self._obj_mass_dim = [i for i, k in enumerate(keys)
+                              if k[0] == "object" and k[3] == "mass"][0]
+        self._hand_links_arr = np.array([name_map[b] for b in HAND_BODIES])
+        self.setup_noise(cfg["task"]["randomization_params"])
+        self._grav_cfg = cfg["task"]["randomization_params"].get(
+            "sim_params", {}).get("gravity")
+
+    # ------------------------------------------------------------------ #
+    def _dyn_params(self, params_row, gravity_dz) -> DynParams:
+        m = self.model
+        base = DynParams.defaults(m)
+        mass = base.mass
+        if self._hand_mass_dims:
+            mult = params_row[jnp.asarray(self._hand_mass_dims)]
+            mass = mass.at[jnp.asarray(self._hand_links_arr)].mul(mult)
+        mass = mass.at[self._cube].mul(params_row[self._obj_mass_dim])
+        inertia = base.inertia * (mass / base.mass)[:, None]
+        # Cube inertia additionally scales with (object scale)^2.
+        s = params_row[self._scale_dim]
+        inertia = inertia.at[self._cube].mul(s ** 2)
+        damping = base.damping
+        if self._dof_damp_dims:  # shadow_hand_more: dof damping scaling
+            damping = damping.at[jnp.asarray(self._dof_v)].mul(
+                params_row[jnp.asarray(self._dof_damp_dims)])
+        gravity = base.gravity + jnp.array([0.0, 0.0, 1.0]) * gravity_dz
+        return base._replace(mass=mass, inertia=inertia, damping=damping,
+                             gravity=gravity)
+
+    def _contact_frictions(self, params_row):
+        """Fingertip and cube contact friction multipliers (only the
+        shadow_hand_more config randomizes shape friction)."""
+        tip_mu = jnp.ones(len(self._fingertips))
+        if self._hand_fric_dims:
+            # Hand shape-friction dims follow HAND_BODIES order; pick the
+            # five distal shapes.
+            distal_names = ["robot0:ffdistal", "robot0:mfdistal",
+                            "robot0:rfdistal", "robot0:lfdistal",
+                            "robot0:thdistal"]
+            body_pos = {b: j for j, b in enumerate(HAND_BODIES)}
+            sel = jnp.asarray([self._hand_fric_dims[body_pos[b]]
+                               for b in distal_names])
+            tip_mu = params_row[sel]
+        obj_mu = (params_row[self._obj_fric_dims[0]]
+                  if self._obj_fric_dims else jnp.asarray(1.0))
+        return tip_mu, obj_mu
+
+    def init_state(self, key, params):
+        n = params.shape[0]
+        m = self.model
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        q0 = jnp.asarray(m.neutral_q(), jnp.float32)
+        cq = self._cube_q
+        q = jnp.tile(q0, (n, 1))
+        # Cube resting on the palm (palm top ~ PALM_Z), scaled half-size.
+        s = params[:, self._scale_dim]
+        cube_xy = jax.random.uniform(k1, (n, 2), minval=-0.01,
+                                     maxval=0.01)
+        q = q.at[:, cq + 0].set(0.06 + cube_xy[:, 0])
+        q = q.at[:, cq + 1].set(cube_xy[:, 1])
+        q = q.at[:, cq + 2].set(PALM_Z + 0.012 + CUBE_HALF * s)
+        q = q.at[:, cq + 3].set(1.0)  # identity quat
+        # Slightly randomized hand dofs.
+        jit = jax.random.uniform(k2, (n, 24), minval=0.0, maxval=0.2)
+        q = q.at[:, jnp.asarray(self._dof_q)].add(jit)
+        v = jnp.zeros((n, m.nv))
+        goal = _random_quat(k3, n)
+        if self._grav_cfg is not None:
+            g_var = float(self._grav_cfg["range"][1])
+            gravity_dz = jax.random.normal(k4, (n,)) * g_var
+        else:
+            gravity_dz = jnp.zeros(n)
+        return HandState(q=q, v=v, goal_quat=goal,
+                         prev_actions=jnp.zeros((n, 20)),
+                         gravity_dz=gravity_dz)
+
+    def _single_step(self, q, v, actions, params_row, gravity_dz, key):
+        m = self.model
+        dp = self._dyn_params(params_row, gravity_dz)
+        h = self.dt / self.substeps
+        a = jnp.clip(actions, -1.0, 1.0)
+        targets = self._act_lo + (a + 1.0) * 0.5 * (self._act_hi
+                                                    - self._act_lo)
+        act_q, act_v = jnp.asarray(self._act_q), jnp.asarray(self._act_v)
+        s = params_row[self._scale_dim]
+        tendon_k = 50.0 + params_row[jnp.asarray(self._tendon_dims)]
+        tendon_d = jnp.ones(4)
+        if self._tendon_damp_dims:
+            tendon_d = params_row[jnp.asarray(self._tendon_damp_dims)]
+        kp = jnp.full(20, 2.0)
+        kd = 0.1
+        if self._dof_stiff_dims:  # shadow_hand_more: drive-gain scaling
+            stiff_mult = params_row[jnp.asarray(self._dof_stiff_dims)]
+            act_pos = [self._hand_dof_links.index(i)
+                       for i in self._actuated_links]
+            kp = kp * stiff_mult[jnp.asarray(act_pos)]
+        tip_mu, obj_mu = self._contact_frictions(params_row)
+        for _ in range(self.substeps):
+            tau = jnp.zeros(m.nv).at[act_v].set(
+                jnp.clip(kp * (targets - q[act_q]) - kd * v[act_v],
+                         -3.0, 3.0))
+            # Tendon coupling: spring-damper pulling q_J1 toward q_J0.
+            for t_i, (j1, j0) in enumerate(self._tendon_pairs):
+                v1, v0 = m.v_off[j1], m.v_off[j0]
+                q1, q0_ = m.q_off[j1], m.q_off[j0]
+                delta = q[q1] - q[q0_]
+                ddot = v[v1] - v[v0]
+                f_t = (tendon_k[t_i] * 0.01 * delta
+                       + tendon_d[t_i] * 0.002 * ddot)
+                tau = tau.at[v1].add(-f_t)
+                tau = tau.at[v0].add(f_t)
+            kin = forward_kinematics(m, q, v, dp)
+            f_ext = jnp.zeros((m.nb, 6))
+            # Cube corners vs palm top plane (corner offsets scale with
+            # the randomized object scale, passed as traced arrays).
+            for corner in _CORNERS:
+                off = jnp.asarray(corner, jnp.float32) * CUBE_HALF * s
+                f_ext = f_ext + sphere_plane_pair_forces(
+                    m, kin, dp, sphere_link=self._cube,
+                    sphere_offset=off, radius=0.002,
+                    plane_link=self._palm, plane_point=(0.06, 0.0, 0.012),
+                    plane_normal=(0, 0, 1), mu=1.0, dt=h,
+                    plane_halfsize=0.12)
+            # Fingertips vs cube faces (mu combines the randomized tip
+            # and object shape frictions).
+            for tip_i, tip in enumerate(self._fingertips):
+                tip_geom = next(g for g in m.geoms if g.link == tip)
+                mu = tip_mu[tip_i] * obj_mu
+                for normal, pt in _FACES:
+                    f_tip = sphere_plane_pair_forces(
+                        m, kin, dp, sphere_link=tip,
+                        sphere_offset=tip_geom.offset,
+                        radius=tip_geom.size[0], plane_link=self._cube,
+                        plane_point=jnp.asarray(pt, jnp.float32)
+                        * CUBE_HALF * s,
+                        plane_normal=normal, mu=mu, dt=h,
+                        plane_halfsize=CUBE_HALF * s)
+                    f_ext = f_ext + f_tip
+            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
+            q, v = integrate(m, q, v, qdd, h)
+            q, v = clamp_limits(m, q, v)
+        return q, v
+
+    def physics_step(self, state, actions, params, key):
+        q, v = jax.vmap(self._single_step,
+                        in_axes=(0, 0, 0, 0, 0, None))(
+            state.q, state.v, actions, params, state.gravity_dz, key)
+        return HandState(q=q, v=v, goal_quat=state.goal_quat,
+                         prev_actions=jnp.clip(actions, -1, 1),
+                         gravity_dz=state.gravity_dz)
+
+    def _cube_pose(self, state):
+        cq = self._cube_q
+        pos = state.q[:, cq:cq + 3]
+        quat = state.q[:, cq + 3:cq + 7]
+        return pos, quat
+
+    def _quat_diff(self, qa, qb):
+        qb_conj = qb * jnp.array([1.0, -1.0, -1.0, -1.0])
+        return jax.vmap(quat_mul)(qa, qb_conj)
+
+    def observe(self, state, params):
+        cv = self._cube_v
+        pos, quat = self._cube_pose(state)
+        palm_anchor = jnp.array([0.06, 0.0, PALM_Z])
+        diff = self._quat_diff(quat, state.goal_quat)
+        return jnp.concatenate([
+            state.q[:, jnp.asarray(self._dof_q)],
+            state.v[:, jnp.asarray(self._dof_v)],
+            pos - palm_anchor,
+            quat,
+            state.v[:, cv + 3:cv + 6],
+            state.v[:, cv:cv + 3],
+            state.goal_quat,
+            diff,
+            state.prev_actions], axis=-1)
+
+    def _rot_dist(self, state):
+        _, quat = self._cube_pose(state)
+        diff = self._quat_diff(quat, state.goal_quat)
+        w = jnp.clip(jnp.abs(diff[:, 0]), -1.0, 1.0)
+        return 2.0 * jnp.arccos(w)
+
+    def _cube_fallen(self, state):
+        pos, _ = self._cube_pose(state)
+        anchor = jnp.array([0.06, 0.0, PALM_Z + 0.05])
+        return jnp.linalg.norm(pos - anchor, axis=-1) > self.fall_dist
+
+    def reward(self, state, actions, params):
+        rot_dist = self._rot_dist(state)
+        pos, _ = self._cube_pose(state)
+        anchor = jnp.array([0.06, 0.0, PALM_Z + 0.05])
+        dist = jnp.linalg.norm(pos - anchor, axis=-1)
+        a = jnp.clip(actions, -1, 1)
+        rew = (self.dist_reward_scale * dist
+               + self.rot_reward_scale / (rot_dist + self.rot_eps)
+               + self.action_penalty_scale * jnp.sum(a ** 2, axis=-1))
+        rew = jnp.where(rot_dist < 0.1, rew + self.reach_goal_bonus, rew)
+        rew = jnp.where(self._cube_fallen(state), rew + self.fall_penalty
+                        - 2.0, rew)
+        return rew
+
+    def early_termination(self, state, params):
+        return self._cube_fallen(state) | (self._rot_dist(state) < 0.1)

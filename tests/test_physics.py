@@ -1,0 +1,241 @@
+"""Physics-core tests against analytic oracles: Featherstone dynamics,
+integration stability, and penalty contacts."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bayes_sim_ig_tpu.physics import (
+    ArticulatedModel, LinkSpec, Geom, DynParams,
+    forward_kinematics, forward_dynamics, integrate, mass_matrix,
+    ground_contact_forces,
+)
+from bayes_sim_ig_tpu.physics.dynamics import _link_inertias
+from bayes_sim_ig_tpu.physics.spatial import quat_to_rot
+
+
+def _ball(mass=1.0, inertia=0.004, radius=0.1, with_geom=True):
+    return ArticulatedModel(
+        [LinkSpec("ball", parent=-1, joint_type="free", mass=mass,
+                  inertia=(inertia,) * 3)],
+        geoms=[Geom(link=0, kind="sphere", size=(radius,))]
+        if with_geom else [],
+        fixed_base=False)
+
+
+def _step_fn(model, params, dt=1 / 240.0, n=240, tau=jnp.zeros(0)):
+    nv = model.nv
+
+    @jax.jit
+    def run(q, v):
+        def body(carry, _):
+            q, v = carry
+            kin = forward_kinematics(model, q, v, params)
+            f = ground_contact_forces(model, kin, params, dt=dt)
+            qdd, _ = forward_dynamics(model, q, v, jnp.zeros(nv), params, f)
+            return integrate(model, q, v, qdd, dt), None
+        return jax.lax.scan(body, (q, v), None, length=n)[0]
+
+    return run
+
+
+class TestDynamicsOracles:
+    def test_simple_pendulum_acceleration(self):
+        # Point mass m at distance l: thdd = -(g/l) sin(th).
+        l, m = 1.0, 2.0
+        pend = ArticulatedModel([LinkSpec(
+            "rod", parent=-1, joint_type="revolute", joint_axis=(0, 1, 0),
+            mass=m, com=(0, 0, -l), inertia=(1e-9, 1e-9, 1e-9))])
+        params = DynParams.defaults(pend)
+        qdd, _ = forward_dynamics(pend, jnp.array([0.3]), jnp.zeros(1),
+                                  jnp.zeros(1), params)
+        assert float(qdd[0]) == pytest.approx(-9.81 / l * np.sin(0.3),
+                                              rel=1e-4)
+
+    def test_free_fall(self):
+        ball = _ball(with_geom=False)
+        params = DynParams.defaults(ball)
+        q = jnp.asarray(ball.neutral_q(), jnp.float32)
+        qdd, _ = forward_dynamics(ball, q, jnp.zeros(6), jnp.zeros(6),
+                                  params)
+        np.testing.assert_allclose(np.asarray(qdd),
+                                   [0, 0, 0, 0, 0, -9.81], atol=1e-5)
+
+    def test_external_force_world_invariant_under_rotation(self):
+        from bayes_sim_ig_tpu.physics.spatial import quat_from_axis_angle
+        ball = _ball(mass=2.0, with_geom=False)
+        params = DynParams.defaults(ball)._replace(gravity=jnp.zeros(3))
+        for ang in (0.0, np.pi / 2, 2.3):
+            quat = quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]),
+                                        jnp.asarray(ang))
+            q = jnp.asarray(ball.neutral_q(),
+                            jnp.float32).at[3:7].set(quat)
+            f_ext = jnp.zeros((1, 6)).at[0, 3].set(1.0)  # world +x
+            qdd, _ = forward_dynamics(ball, q, jnp.zeros(6), jnp.zeros(6),
+                                      params, f_ext)
+            aw = np.asarray(quat_to_rot(q[3:7])) @ np.asarray(qdd[3:6])
+            np.testing.assert_allclose(aw, [0.5, 0, 0], atol=1e-5)
+
+    def test_mass_matrix_symmetric_pd(self):
+        dbl = ArticulatedModel([
+            LinkSpec("l1", parent=-1, joint_type="revolute",
+                     joint_axis=(0, 1, 0), mass=1.0, com=(0, 0, -0.5),
+                     inertia=(1 / 12, 1 / 12, 1e-9)),
+            LinkSpec("l2", parent=0, joint_type="revolute",
+                     joint_axis=(0, 1, 0), joint_pos=(0, 0, -1.0),
+                     mass=1.0, com=(0, 0, -0.5),
+                     inertia=(1 / 12, 1 / 12, 1e-9))])
+        params = DynParams.defaults(dbl)
+        kin = forward_kinematics(dbl, jnp.array([1.2, 0.4]), jnp.zeros(2),
+                                 params)
+        M = np.asarray(mass_matrix(dbl, kin, _link_inertias(dbl, params)))
+        np.testing.assert_allclose(M, M.T, atol=1e-5)
+        assert np.linalg.eigvalsh(M).min() > 0
+
+    def test_double_pendulum_energy_drift_small(self):
+        dbl = ArticulatedModel([
+            LinkSpec("l1", parent=-1, joint_type="revolute",
+                     joint_axis=(0, 1, 0), mass=1.0, com=(0, 0, -0.5),
+                     inertia=(1 / 12, 1 / 12, 1e-9)),
+            LinkSpec("l2", parent=0, joint_type="revolute",
+                     joint_axis=(0, 1, 0), joint_pos=(0, 0, -1.0),
+                     mass=1.0, com=(0, 0, -0.5),
+                     inertia=(1 / 12, 1 / 12, 1e-9))])
+        params = DynParams.defaults(dbl)
+
+        def energy(q, v):
+            kin = forward_kinematics(dbl, q, v, params)
+            I = _link_inertias(dbl, params)
+            ke = sum(0.5 * kin.v[i] @ (I[i] @ kin.v[i]) for i in range(2))
+            pe = sum(params.mass[i] * 9.81
+                     * (kin.p_w[i] + kin.R_w[i] @ params.com[i])[2]
+                     for i in range(2))
+            return float(ke + pe)
+
+        @jax.jit
+        def run(q, v):
+            def body(carry, _):
+                q, v = carry
+                qdd, _ = forward_dynamics(dbl, q, v, jnp.zeros(2), params)
+                return integrate(dbl, q, v, qdd, 0.001), None
+            return jax.lax.scan(body, (q, v), None, length=2000)[0]
+
+        q, v = jnp.array([1.2, 0.4]), jnp.zeros(2)
+        e0 = energy(q, v)
+        q, v = run(q, v)
+        assert abs(energy(q, v) - e0) / abs(e0) < 0.03
+
+    def test_spinning_free_fall_no_energy_pump(self):
+        # The body-frame transport term must not inflate velocities
+        # (world-frame free-joint integration).
+        ball = _ball(mass=2.0, with_geom=False)
+        params = DynParams.defaults(ball)
+        q = jnp.asarray(ball.neutral_q(), jnp.float32).at[2].set(0.1)
+        v = jnp.zeros(6).at[1].set(10.0)  # strong spin
+        run = _step_fn(ball, params)
+        q1, v1 = run(q, v)
+
+        def energy(q, v):
+            return (0.5 * 2.0 * float(v[3:] @ v[3:])
+                    + 0.5 * 0.004 * float(v[:3] @ v[:3])
+                    + 2.0 * 9.81 * float(q[2]))
+
+        # Semi-implicit Euler has an O(dt) bias but must not grow energy.
+        assert energy(q1, v1) <= energy(q, v) + 0.01
+
+
+class TestContacts:
+    def test_ball_settles_at_analytic_rest_depth(self):
+        ball = _ball()
+        params = DynParams.defaults(ball)
+        q = jnp.asarray(ball.neutral_q(), jnp.float32).at[2].set(0.3)
+        run = _step_fn(ball, params)
+        v = jnp.zeros(6)
+        for _ in range(2):
+            q, v = run(q, v)
+        rest_z = 0.1 - 9.81 * 0.02 ** 2  # r - g tau^2 (mass-independent)
+        assert float(q[2]) == pytest.approx(rest_z, abs=2e-3)
+        assert abs(float(v[5])) < 1e-3
+
+    def test_sliding_ball_converts_to_rolling(self):
+        # v_roll = v0 / (1 + I / (m r^2)) for a sliding-then-rolling ball.
+        ball = _ball(mass=2.0, inertia=0.004)
+        params = DynParams.defaults(ball)
+        q = jnp.asarray(ball.neutral_q(), jnp.float32).at[2].set(0.098)
+        v = jnp.zeros(6).at[3].set(2.0)
+        run = _step_fn(ball, params)
+        for _ in range(2):
+            q, v = run(q, v)
+        R = np.asarray(quat_to_rot(q[3:7]))
+        vw = R @ np.asarray(v[3:6])
+        ww = R @ np.asarray(v[0:3])
+        v_roll = 2.0 / (1.0 + 0.004 / (2.0 * 0.1 ** 2))
+        assert vw[0] == pytest.approx(v_roll, rel=0.02)
+        # Rolling constraint: contact point nearly stationary.
+        assert vw[0] + ww[1] * (-0.098) == pytest.approx(0.0, abs=0.05)
+
+    @pytest.mark.parametrize("mass_mult", [0.01, 1.0, 20.0])
+    def test_stable_across_mass_randomization(self, mass_mult):
+        # The DR configs scale masses by [0.01, 20]; contacts must stay
+        # stable (mass-adaptive penalty gains).
+        ball = _ball()
+        base = DynParams.defaults(ball)
+        params = base._replace(mass=base.mass * mass_mult,
+                               inertia=base.inertia * mass_mult)
+        q = jnp.asarray(ball.neutral_q(), jnp.float32).at[2].set(0.15)
+        v = jnp.zeros(6).at[3].set(1.0)
+        run = _step_fn(ball, params)
+        for _ in range(2):
+            q, v = run(q, v)
+        assert np.isfinite(np.asarray(q)).all()
+        assert np.isfinite(np.asarray(v)).all()
+        assert abs(float(q[2]) - 0.096) < 0.01
+
+
+class TestJointDynamics:
+    def test_implicit_damping_stable_at_large_gains(self):
+        # Damping up to 100 (the cartpole DR range) at dt=1/60 must not
+        # explode thanks to the implicit LHS term.
+        pend = ArticulatedModel([LinkSpec(
+            "rod", parent=-1, joint_type="revolute", joint_axis=(0, 1, 0),
+            mass=1.0, com=(0, 0, -0.5), inertia=(1 / 12, 1 / 12, 1e-9))])
+        base = DynParams.defaults(pend)
+        params = base._replace(damping=jnp.full(1, 100.0))
+        q, v = jnp.array([1.0]), jnp.array([5.0])
+
+        @jax.jit
+        def run(q, v):
+            def body(carry, _):
+                q, v = carry
+                qdd, _ = forward_dynamics(pend, q, v, jnp.zeros(1),
+                                          params, dt=1 / 60.0)
+                return integrate(pend, q, v, qdd, 1 / 60.0), None
+            return jax.lax.scan(body, (q, v), None, length=120)[0]
+
+        q, v = run(q, v)
+        assert np.isfinite(float(q[0])) and abs(float(v[0])) < 1.0
+
+    def test_joint_spring_oscillates_about_zero(self):
+        pend = ArticulatedModel([LinkSpec(
+            "rod", parent=-1, joint_type="revolute", joint_axis=(0, 0, 1),
+            mass=1.0, com=(0.5, 0, 0), inertia=(1e-9, 1 / 12, 1 / 12))])
+        base = DynParams.defaults(pend)
+        # Spin axis z with gravity along -z: gravity torque-free; spring
+        # pulls q toward 0.
+        params = base._replace(stiffness=jnp.full(1, 5.0),
+                               damping=jnp.full(1, 0.5))
+        q, v = jnp.array([1.0]), jnp.zeros(1)
+
+        @jax.jit
+        def run(q, v):
+            def body(carry, _):
+                q, v = carry
+                qdd, _ = forward_dynamics(pend, q, v, jnp.zeros(1),
+                                          params, dt=1 / 120.0)
+                return integrate(pend, q, v, qdd, 1 / 120.0), None
+            return jax.lax.scan(body, (q, v), None, length=600)[0]
+
+        q, v = run(q, v)
+        assert abs(float(q[0])) < 0.2  # settled near zero

@@ -1,0 +1,81 @@
+"""Generic per-task checks: every registered task builds from its package
+config, has a param spec dimension-compatible with its realParams vector,
+and steps stably under jit with full-range domain randomization."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import jax.numpy as jnp
+
+from bayes_sim_ig_tpu.sim import make_env, available_tasks
+from bayes_sim_ig_tpu.distributions import Uniform, to_device_distr
+from bayes_sim_ig_tpu.utils.args import snake_case
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "..",
+                       "bayes_sim_ig_tpu", "cfg")
+
+ALL_TASKS = ["Pendulum", "Cartpole", "Ant", "Anymal", "BallBalance",
+             "FrankaCabinet", "Humanoid", "Ingenuity", "Quadcopter",
+             "ShadowHand"]
+
+
+def load_cfg(task, num_envs=4):
+    with open(os.path.join(CFG_DIR, snake_case(task) + ".yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["env"]["numEnvs"] = num_envs
+    return cfg
+
+
+def test_all_reference_tasks_registered():
+    assert set(ALL_TASKS) <= set(available_tasks())
+
+
+@pytest.mark.parametrize("task_name", ALL_TASKS)
+def test_spec_matches_realparams_and_steps_finite(task_name):
+    cfg = load_cfg(task_name)
+    env = make_env(task_name, cfg)
+    spec = env.task.params_spec
+    real_means = cfg["env"]["realParams"]["means"][0]
+    # Scalar realParams broadcast to the full dim (args.py:110-122).
+    if len(real_means) > 1:
+        assert len(real_means) == spec.dim, \
+            f"{task_name}: realParams dim {len(real_means)} != spec " \
+            f"{spec.dim} ({spec.names})"
+    assert (spec.lows < spec.highs).all()
+    env.set_distr(to_device_distr(Uniform(spec.lows, spec.highs)))
+    obs = env.reset()
+    assert obs.shape == (4, env.task.obs_dim)
+    rs = np.random.RandomState(0)
+    for _ in range(5):
+        act = jnp.asarray(rs.uniform(-1, 1, (4, env.task.act_dim)),
+                          jnp.float32)
+        obs, rew, done, _ = env.step(act)
+    assert np.isfinite(np.asarray(obs)).all(), f"{task_name} obs blew up"
+    assert np.isfinite(np.asarray(rew)).all()
+
+
+@pytest.mark.parametrize("task_name", ["Ant", "ShadowHand"])
+def test_flat_sample_consumed_fully(task_name):
+    # The walk order invariant: every dim of the flat sample must bind to
+    # a model quantity the task consumes (reference
+    # apply_randomizations.py:228-236 exhaustion check analogue).
+    cfg = load_cfg(task_name)
+    env = make_env(task_name, cfg)
+    t = env.task
+    bound = set()
+    for attr in ("_mass_dims", "_stiff_dims", "_damp_dims",
+                 "_tendon_dims", "_hand_mass_dims", "_fric_dims",
+                 "_ball_mass_dims"):
+        dims = getattr(t, attr, None)
+        if dims is not None:
+            bound.update(int(i) for i in dims)
+    for attr in ("_scale_dim", "_obj_mass_dim"):
+        d = getattr(t, attr, None)
+        if d is not None:
+            bound.add(int(d))
+    assert bound == set(range(t.params_spec.dim)), \
+        f"{task_name}: unbound param dims " \
+        f"{set(range(t.params_spec.dim)) - bound}"
