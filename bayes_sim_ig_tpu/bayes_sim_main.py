@@ -85,8 +85,31 @@ def main(argv=None):
     all_real_states = None
     all_real_actions = None
 
-    for real_iter_id in range(bs_cfg["realIters"]):
+    # Resume the outer loop from the latest per-iteration checkpoint
+    # (the reference cannot do this, SURVEY.md §5.4).
+    start_iter = 0
+    if getattr(args, "resume", False):
+        resumed = _load_latest_checkpoint(args.logdir, ppo)
+        if resumed is not None:
+            start_iter = resumed["real_iter_id"] + 1
+            sim_params_distr = pdf.MoG(
+                a=resumed["weights"], ms=list(resumed["means"]),
+                Ss=list(resumed["covs"]))
+            all_real_states = resumed.get("all_real_states")
+            all_real_actions = resumed.get("all_real_actions")
+            if (all_real_states is not None
+                    and np.ndim(all_real_states) == 0):
+                all_real_states = all_real_actions = None
+            print(f"Resumed from iteration {start_iter - 1}; "
+                  f"continuing at {start_iter}")
+
+    profile_iter = start_iter if getattr(args, "profile", False) else None
+    for real_iter_id in range(start_iter, bs_cfg["realIters"]):
         t_iter = time.time()
+        if real_iter_id == profile_iter:
+            import jax
+            jax.profiler.start_trace(
+                os.path.join(args.logdir, "profile"))
         plot.plot_posterior(
             writer, "BayesSim/posterior", real_iter_id,
             sim_params_names=spec.names, skip_ids=spec.skip_ids,
@@ -163,17 +186,25 @@ def main(argv=None):
             max_traj_len=bs_cfg["trainTrajLen"])
         real_states, real_actions = (np.asarray(real_states),
                                      np.asarray(real_actions))
-        if real_iter_id == 0:
+        if all_real_states is None:
             all_real_states, all_real_actions = real_states, real_actions
         else:
             all_real_states = np.concatenate([all_real_states, real_states])
             all_real_actions = np.concatenate(
                 [all_real_actions, real_actions])
         sim_params_distr = bsim.predict(all_real_states, all_real_actions)
-        print(f"Iter {real_iter_id} took {time.time() - t_iter:.1f}s; "
+        if real_iter_id == profile_iter:
+            import jax
+            jax.profiler.stop_trace()
+            print("Wrote XLA profile to",
+                  os.path.join(args.logdir, "profile"))
+        iter_secs = time.time() - t_iter
+        writer.add_scalar("perf/sec_per_adr_iter", iter_secs, real_iter_id)
+        print(f"Iter {real_iter_id} took {iter_secs:.1f}s; "
               f"posterior:\n{sim_params_distr}")
         _save_iteration_checkpoint(args.logdir, real_iter_id,
-                                   sim_params_distr, ppo)
+                                   sim_params_distr, ppo,
+                                   all_real_states, all_real_actions)
     writer.close()
 
 
@@ -193,9 +224,12 @@ def _write_video(writer, imgs, step):
             writer.add_image(f"RealSurrogate/frame_{tag}", frame, step)
 
 
-def _save_iteration_checkpoint(logdir, real_iter_id, posterior, ppo):
-    """Posterior + policy checkpoint per ADR iteration (the reference never
-    saves these, SURVEY.md §5.4)."""
+def _save_iteration_checkpoint(logdir, real_iter_id, posterior, ppo,
+                               all_real_states=None,
+                               all_real_actions=None):
+    """Posterior + policy + real-trajectory-accumulator checkpoint per ADR
+    iteration, enabling full outer-loop resume (the reference never saves
+    any of these, SURVEY.md §5.4)."""
     path = os.path.join(logdir, "checkpoints")
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, f"posterior_{real_iter_id}.pkl"),
@@ -205,8 +239,30 @@ def _save_iteration_checkpoint(logdir, real_iter_id, posterior, ppo):
             "means": np.stack([g.m for g in posterior.xs]),
             "covs": np.stack([g.S for g in posterior.xs]),
             "real_iter_id": real_iter_id,
+            "all_real_states": None if all_real_states is None
+            else np.asarray(all_real_states),
+            "all_real_actions": None if all_real_actions is None
+            else np.asarray(all_real_actions),
         }, f)
     ppo.save(os.path.join(path, f"policy_{real_iter_id}.ckpt"))
+
+
+def _load_latest_checkpoint(logdir, ppo):
+    """Finds the newest posterior_<N>.pkl under logdir/checkpoints, loads
+    it and the matching policy; returns the payload or None."""
+    import glob
+    path = os.path.join(logdir, "checkpoints")
+    files = glob.glob(os.path.join(path, "posterior_*.pkl"))
+    if not files:
+        return None
+    latest = max(files, key=lambda f: int(
+        os.path.splitext(os.path.basename(f))[0].split("_")[1]))
+    with open(latest, "rb") as f:
+        payload = pickle.load(f)
+    policy = os.path.join(path, f"policy_{payload['real_iter_id']}.ckpt")
+    if os.path.exists(policy):
+        ppo.load(policy)
+    return payload
 
 
 if __name__ == "__main__":

@@ -31,15 +31,24 @@ _PRIMES = [
 ]
 
 
+_PERM_CACHE: dict = {}
+
+
 def _permutation_for_base(base: int) -> np.ndarray:
     """Deterministic scrambling permutation of digits {0..base-1}.
 
     Fixes sigma(0)=0 so that the point 0 stays representable and the
     sequence remains a (0, 1)-net-like low-discrepancy sequence.
+    Memoized — permutation generation otherwise dominates the native
+    generator's runtime.
     """
-    rng = np.random.default_rng(base)
-    perm = 1 + rng.permutation(base - 1)
-    return np.concatenate([[0], perm])
+    cached = _PERM_CACHE.get(base)
+    if cached is None:
+        rng = np.random.default_rng(base)
+        perm = 1 + rng.permutation(base - 1)
+        cached = np.concatenate([[0], perm])
+        _PERM_CACHE[base] = cached
+    return cached
 
 
 def _radical_inverse(indices: np.ndarray, base: int,
@@ -61,6 +70,22 @@ def _radical_inverse(indices: np.ndarray, base: int,
     return result
 
 
+try:  # Optional native (C) generator; pure-numpy fallback below.
+    from ..ops.native import _halton_native
+except ImportError:  # pragma: no cover - extension not built
+    _halton_native = None
+
+
+def _halton_native_sequence(n_samples, dim, skip, scramble):
+    perms = np.concatenate([
+        (_permutation_for_base(_PRIMES[d]) if scramble
+         else np.arange(_PRIMES[d])).astype(np.int32)
+        for d in range(dim)])
+    raw = _halton_native.halton_fill(dim, n_samples, skip,
+                                     perms.tobytes())
+    return np.frombuffer(raw, np.float64).reshape(n_samples, dim).copy()
+
+
 def halton_sequence(n_samples: int, dim: int, skip: int = 1,
                     scramble: bool = True) -> np.ndarray:
     """Generates ``n_samples`` points of a ``dim``-dimensional generalized
@@ -68,10 +93,14 @@ def halton_sequence(n_samples: int, dim: int, skip: int = 1,
 
     ``skip=1`` drops the initial all-zeros point, matching the reference's
     ``sequencer.get(n + 1)[1:]`` convention (rff.py:116, pdf.py:123).
+    Uses the native C generator (ops/native/halton.c) when built; the
+    numpy path below is the reference implementation and fallback.
     """
     if dim > len(_PRIMES):
         raise ValueError(f"halton_sequence supports dim <= {len(_PRIMES)}, "
                          f"got {dim}")
+    if _halton_native is not None:
+        return _halton_native_sequence(n_samples, dim, skip, scramble)
     indices = np.arange(skip, skip + n_samples, dtype=np.int64)
     out = np.empty((n_samples, dim), dtype=np.float64)
     for d in range(dim):

@@ -260,10 +260,16 @@ class PPO:
         env_state = self.vec_env.state
         distr = self.vec_env._distr
         it = self.current_learning_iteration
+        import time
         while it < num_learning_iterations:
+            t0 = time.perf_counter()
             self._key, k = jax.random.split(self._key)
             self.train_state, env_state, obs, metrics = self._train_iter_fn(
                 self.train_state, distr, env_state, obs, k)
+            jax.block_until_ready(metrics["loss"])
+            dt = time.perf_counter() - t0
+            metrics["env_steps_per_sec"] = (
+                self.nsteps * self.task.num_envs / dt)
             it += 1
             self.current_learning_iteration = it
             if self.writer is not None and (it % log_interval == 0

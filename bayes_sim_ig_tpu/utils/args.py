@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     # XLA owns placement on TPU.
     p.add_argument("--sim_device", default=None)
     p.add_argument("--rl_device", default=None)
+    p.add_argument("--profile", action="store_true",
+                   help="wrap the first ADR iteration in a jax.profiler "
+                        "trace written to <logdir>/profile")
+    p.add_argument("--resume", action="store_true",
+                   help="resume the ADR loop from the latest checkpoint "
+                        "in the run's logdir")
     return p
 
 
