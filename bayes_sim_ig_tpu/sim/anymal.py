@@ -161,7 +161,8 @@ class Anymal(Task):
                    + jnp.clip(actions, -1, 1) * self.action_scale)
         act_v = jnp.asarray(self._act_v_idx)
         act_q = jnp.asarray(self._act_q_idx)
-        for _ in range(self.substeps):
+        def substep(carry, _):
+            q, v = carry
             tau = jnp.zeros(m.nv).at[act_v].set(
                 jnp.clip(self.kp * (targets - q[act_q])
                          - self.kd * v[act_v], -80.0, 80.0))
@@ -170,6 +171,10 @@ class Anymal(Task):
             qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
+            return (q, v), None
+
+        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+                                 length=self.substeps)
         return q, v
 
     def physics_step(self, state, actions, params, key):

@@ -180,7 +180,8 @@ class BallBalance(Task):
                                for i in range(3)])
         tau = jnp.zeros(m.nv).at[lower_v].set(
             jnp.clip(actions, -1, 1) * 20.0)
-        for _ in range(self.substeps):
+        def substep(carry, _):
+            q, v = carry
             kin = forward_kinematics(m, q, v, dp)
             f_ext = ground_contact_forces(m, kin, dp, dt=h)
             f_ext = f_ext + sphere_plane_pair_forces(
@@ -192,6 +193,10 @@ class BallBalance(Task):
             qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
+            return (q, v), None
+
+        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+                                 length=self.substeps)
         return q, v
 
     def physics_step(self, state, actions, params, key):

@@ -148,3 +148,23 @@ class Cartpole(Task):
     def early_termination(self, state, params):
         return (jnp.abs(state.x) > self.reset_dist) | \
                (jnp.abs(state.th) > jnp.pi / 2)
+
+    def render_obs_frame(self, obs_row, height=200, width=300):
+        """Simple raster (track, cart, pole) from one observation row for
+        TensorBoard videos."""
+        x, th = float(obs_row[0]), float(obs_row[2])
+        img = np.full((height, width, 3), 255, np.uint8)
+        track_y = int(height * 0.7)
+        img[track_y:track_y + 2, :] = 0
+        scale = width / (2.2 * self.reset_dist)
+        cx = int(np.clip(width / 2 + x * scale, 15, width - 15))
+        img[track_y - 10:track_y, cx - 12:cx + 12] = (60, 60, 200)
+        tip = (cx + int(60 * np.sin(th)),
+               track_y - 10 - int(60 * np.cos(th)))
+        n = 60
+        xs = np.linspace(cx, tip[0], n).astype(int)
+        ys = np.linspace(track_y - 10, tip[1], n).astype(int)
+        for d in (-1, 0, 1):
+            img[np.clip(ys, 0, height - 1),
+                np.clip(xs + d, 0, width - 1)] = (200, 80, 60)
+        return img

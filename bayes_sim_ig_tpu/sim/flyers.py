@@ -90,7 +90,9 @@ class _FlyerBase(Task):
         dp = self._make_dyn_params(params_row)
         h = self.dt / self.substeps
         targets = self._joint_targets(actions)
-        for _ in range(self.substeps):
+
+        def substep(carry, _):
+            q, v = carry
             f_ext = self._thrust_forces(q, actions, params_row)
             tau = jnp.zeros(m.nv)
             if targets is not None:
@@ -102,6 +104,10 @@ class _FlyerBase(Task):
             qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
+            return (q, v), None
+
+        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+                                 length=self.substeps)
         return q, v
 
     def physics_step(self, state, actions, params, key):

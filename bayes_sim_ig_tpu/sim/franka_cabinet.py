@@ -203,7 +203,8 @@ class FrankaCabinet(Task):
             * self.dt, self._limits_lo, self._limits_hi)
         dof_v = jnp.asarray(self._dof_v)
         dof_q = jnp.asarray(self._dof_q)
-        for _ in range(self.substeps):
+        def substep(carry, _):
+            q, v = carry
             tau = jnp.zeros(m.nv).at[dof_v].set(
                 jnp.clip(kp * (targets - q[dof_q]) - kd * v[dof_v],
                          -87.0, 87.0))
@@ -222,6 +223,10 @@ class FrankaCabinet(Task):
             qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
+            return (q, v), None
+
+        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+                                 length=self.substeps)
         return q, v, targets
 
     def physics_step(self, state, actions, params, key):

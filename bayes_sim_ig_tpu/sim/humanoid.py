@@ -258,12 +258,17 @@ class Humanoid(Task):
         tau = jnp.zeros(m.nv).at[jnp.asarray(self._act_v_idx)].set(
             jnp.clip(actions, -1, 1) * jnp.asarray(self._gears)
             * self.power_scale)
-        for _ in range(self.substeps):
+        def substep(carry, _):
+            q, v = carry
             kin = forward_kinematics(m, q, v, dp)
             f_ext = ground_contact_forces(m, kin, dp, dt=h)
             qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
+            return (q, v), None
+
+        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+                                 length=self.substeps)
         return q, v
 
     def physics_step(self, state, actions, params, key):

@@ -394,7 +394,8 @@ class ShadowHand(Task):
                        for i in self._actuated_links]
             kp = kp * stiff_mult[jnp.asarray(act_pos)]
         tip_mu, obj_mu = self._contact_frictions(params_row)
-        for _ in range(self.substeps):
+        def substep(carry, _):
+            q, v = carry
             tau = jnp.zeros(m.nv).at[act_v].set(
                 jnp.clip(kp * (targets - q[act_q]) - kd * v[act_v],
                          -3.0, 3.0))
@@ -438,6 +439,10 @@ class ShadowHand(Task):
             qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
+            return (q, v), None
+
+        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+                                 length=self.substeps)
         return q, v
 
     def physics_step(self, state, actions, params, key):
