@@ -29,3 +29,24 @@ Layer map (mirrors reference SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache():
+    """Persistent XLA compilation cache: articulated-physics programs take
+    minutes to compile; cache hits make repeat runs (and ADR iterations
+    across processes) start fast. Opt out with BSIM_NO_COMPILE_CACHE=1."""
+    import os
+    if os.environ.get("BSIM_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("BSIM_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/bsim_jax")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:  # older jax or read-only fs: not fatal
+        pass
+
+
+_enable_persistent_compile_cache()

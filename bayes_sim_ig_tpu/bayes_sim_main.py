@@ -52,6 +52,11 @@ def _make_writer(logdir):
 
 def main(argv=None):
     args, cfg_env, cfg_train = init_args(argv)
+    if os.environ.get("BSIM_DEBUG_NANS"):
+        # Numerical sanitizing analogue of the reference's isfinite asserts
+        # (mdnn.py:120-124); aborts on the first NaN-producing primitive.
+        import jax
+        jax.config.update("jax_debug_nans", True)
     env = make_env(args.task, cfg_env, seed=args.seed)
     spec = env.task.params_spec
     print(spec.describe())

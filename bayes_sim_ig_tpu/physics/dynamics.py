@@ -192,8 +192,9 @@ def mass_matrix(model: ArticulatedModel, kin: Kinematics, I_sp):
         vi = model.v_off[i]
         S_i = kin.S[i][:, :nd]                  # (6, nd)
         F = Ic[i] @ S_i                          # (6, nd)
-        M = jax.lax.dynamic_update_slice(
-            M, S_i.T @ F, (vi, vi))
+        # All indices are static python ints: plain .at[] slices compile to
+        # static updates.
+        M = M.at[vi:vi + nd, vi:vi + nd].set(S_i.T @ F)
         j = i
         F_j = F
         while model.parent[j] >= 0:
@@ -205,8 +206,8 @@ def mass_matrix(model: ArticulatedModel, kin: Kinematics, I_sp):
             vj = model.v_off[j]
             S_j = kin.S[j][:, :ndj]
             blk = F_j.T @ S_j                    # (nd, ndj)
-            M = jax.lax.dynamic_update_slice(M, blk, (vi, vj))
-            M = jax.lax.dynamic_update_slice(M, blk.T, (vj, vi))
+            M = M.at[vi:vi + nd, vj:vj + ndj].set(blk)
+            M = M.at[vj:vj + ndj, vi:vi + nd].set(blk.T)
     return M
 
 

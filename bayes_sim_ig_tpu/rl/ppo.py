@@ -30,6 +30,24 @@ from ..sim.task import env_step, env_full_reset
 from . import networks
 
 
+def gae_advantages(vals, rews, dones, last_val, gamma, lam):
+    """Generalized advantage estimation over a (T, N) rollout with the IG
+    done-on-last-step convention: done_t = 1 masks the bootstrap value of
+    the post-episode state."""
+    def body(carry, xs):
+        gae_next, val_next = carry
+        val, rew, done = xs
+        nonterminal = 1.0 - done
+        delta = rew + gamma * val_next * nonterminal - val
+        gae = delta + gamma * lam * nonterminal * gae_next
+        return (gae, val), gae
+
+    (_, _), advs = jax.lax.scan(
+        body, (jnp.zeros_like(last_val), last_val),
+        (vals, rews, dones), reverse=True)
+    return advs
+
+
 class PPOTrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -152,18 +170,7 @@ class PPO:
             return env_state, obs, traj, last_val
 
         def compute_gae(vals, rews, dones, last_val):
-            def body(carry, xs):
-                gae_next, val_next = carry
-                val, rew, done = xs
-                nonterminal = 1.0 - done
-                delta = rew + gamma * val_next * nonterminal - val
-                gae = delta + gamma * lam * nonterminal * gae_next
-                return (gae, val), gae
-
-            (_, _), advs = jax.lax.scan(
-                body, (jnp.zeros_like(last_val), last_val),
-                (vals, rews, dones), reverse=True)
-            return advs
+            return gae_advantages(vals, rews, dones, last_val, gamma, lam)
 
         def loss_fn(params, batch):
             obs, act, logp_old, val_old, adv, ret = batch

@@ -86,3 +86,31 @@ def test_counter_continuation(tmp_path):
     ppo.current_learning_iteration = 10
     ppo.run(num_learning_iterations=12, log_interval=1000)
     assert ppo.current_learning_iteration == 12
+
+
+def test_gae_matches_numpy_reference():
+    import numpy as np
+    import jax.numpy as jnp
+    from bayes_sim_ig_tpu.rl.ppo import gae_advantages
+
+    rs = np.random.RandomState(0)
+    T, N = 12, 5
+    vals = rs.randn(T, N).astype(np.float32)
+    rews = rs.randn(T, N).astype(np.float32)
+    dones = (rs.rand(T, N) < 0.2).astype(np.float32)
+    last_val = rs.randn(N).astype(np.float32)
+    gamma, lam = 0.99, 0.95
+    got = np.asarray(gae_advantages(
+        jnp.asarray(vals), jnp.asarray(rews), jnp.asarray(dones),
+        jnp.asarray(last_val), gamma, lam))
+    # Direct backward recursion in numpy.
+    want = np.zeros((T, N), np.float32)
+    gae = np.zeros(N, np.float32)
+    val_next = last_val
+    for t in reversed(range(T)):
+        nonterm = 1.0 - dones[t]
+        delta = rews[t] + gamma * val_next * nonterm - vals[t]
+        gae = delta + gamma * lam * nonterm * gae
+        want[t] = gae
+        val_next = vals[t]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
