@@ -25,8 +25,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 # Property categories, in the reference's naming (params_generator.py:14-15).
-LINK_PROPS = ("rigid_body_properties", "rigid_shape_properties")
-JOINT_PROPS = ("dof_properties", "tendon_properties")
+# dof_properties is the only array-attribute category (one property object
+# whose attrs are per-dof arrays); every other category is a list of
+# per-body/shape/tendon objects with scalar attrs.
+LINK_PROPS = ("rigid_body_properties", "rigid_shape_properties",
+              "tendon_properties")
+ARRAY_PROPS = ("dof_properties",)
 
 
 @dataclass

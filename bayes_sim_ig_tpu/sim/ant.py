@@ -51,7 +51,7 @@ def build_ant_model() -> ArticulatedModel:
     links = [LinkSpec("torso", parent=-1, joint_type="free", mass=10.0,
                       inertia=(0.25, 0.25, 0.25))]
     geoms = [Geom(link=0, kind="sphere", size=(TORSO_R,))]
-    for li, (d, nm) in enumerate(zip(LEG_DIRS, LEG_NAMES)):
+    for d, nm in zip(LEG_DIRS, LEG_NAMES):
         dx, dy = d
         hip_axis = (0.0, 0.0, 1.0)
         ankle_axis = (-dy, dx, 0.0)
@@ -118,8 +118,6 @@ class Ant(Task):
         self.model = build_ant_model()
         m = self.model
         body_names = m.body_names
-        dof_names = [f"hip_{i+1}" for i in range(4)] + \
-                    [f"ankle_{i+1}" for i in range(4)]
         # Tree order of the dofs is (hip_i, ankle_i) per leg; names for the
         # flat spec follow the dof tree order.
         tree_dof_names = []
