@@ -99,6 +99,7 @@ class Ant(Task):
     obs_dim = 29
     dt = 1.0 / 60.0
     substeps = 2
+    prefer_host_loop = True
 
     def __init__(self, cfg):
         env_cfg = cfg["env"]

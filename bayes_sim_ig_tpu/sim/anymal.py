@@ -91,6 +91,7 @@ class Anymal(Task):
     act_dim = 12
     dt = 1.0 / 60.0
     substeps = 2
+    prefer_host_loop = True
     kp = 85.0
     kd = 2.0
     action_scale = 0.5

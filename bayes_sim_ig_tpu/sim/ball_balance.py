@@ -93,6 +93,7 @@ class BallBalance(Task):
     act_dim = 3
     dt = 1.0 / 60.0
     substeps = 2
+    prefer_host_loop = True
 
     def __init__(self, cfg):
         env_cfg = cfg["env"]

@@ -49,6 +49,7 @@ class _FlyerBase(Task):
 
     dt = 1.0 / 100.0
     substeps = 2
+    prefer_host_loop = True
     gravity = -9.81
     target = np.array([0.0, 0.0, 1.0])
 

@@ -107,6 +107,7 @@ class FrankaCabinet(Task):
     act_dim = 9
     dt = 1.0 / 60.0
     substeps = 2
+    prefer_host_loop = True
 
     def __init__(self, cfg):
         env_cfg = cfg["env"]

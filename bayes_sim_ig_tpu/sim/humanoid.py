@@ -167,6 +167,7 @@ class Humanoid(Task):
     obs_dim = 55
     dt = 1.0 / 60.0
     substeps = 2
+    prefer_host_loop = True
 
     def __init__(self, cfg):
         env_cfg = cfg["env"]

@@ -203,6 +203,7 @@ class ShadowHand(Task):
     act_dim = 20
     dt = 1.0 / 60.0
     substeps = 2
+    prefer_host_loop = True
 
     def __init__(self, cfg):
         env_cfg = cfg["env"]

@@ -84,6 +84,69 @@ def get_collect_policy(name: Optional[str]):
 @functools.partial(
     jax.jit, static_argnames=("task", "policy_apply", "collect_policy",
                               "max_episode_length"))
+def _collect_step(task, policy_apply, collect_policy, max_episode_length,
+                  policy_params, distr, env_state, obs, step_key):
+    """One fused act+transform+env step (host-loop driver body)."""
+    k_act, k_pol = jax.random.split(step_key)
+    act = policy_apply(policy_params, obs, k_act)
+    act = collect_policy(act, k_pol)
+    env_state, obs2, rew, done = env_step(task, distr, env_state, act,
+                                          max_episode_length)
+    return env_state, obs2, act, rew, done
+
+
+def _collect_round_host(task, policy_apply, collect_policy,
+                        max_episode_length, policy_params, distr, key):
+    """Host-driven variant of ``_collect_round``: dispatches the jitted
+    step back to back (async dispatch pipelines the launches), which on
+    this runtime is far faster than scan-embedding heavy physics bodies
+    (see sim/task.py ``prefer_host_loop``)."""
+    k_reset, k_scan = jax.random.split(key)
+    reset = jax.jit(env_full_reset, static_argnames=("task",))
+    env_state, obs0 = reset(task, distr, k_reset)
+    labels = env_state.params
+    n_steps = max_episode_length - 1
+    keys = jax.random.split(k_scan, n_steps)
+    obs_l, act_l, rew_l, done_l = [], [], [], []
+    obs = obs0
+    for t in range(n_steps):
+        env_state, obs, act, rew, done = _collect_step(
+            task, policy_apply, collect_policy, max_episode_length,
+            policy_params, distr, env_state, obs, keys[t])
+        obs_l.append(obs)
+        act_l.append(act)
+        rew_l.append(rew)
+        done_l.append(done)
+    obs_seq = jnp.stack(obs_l)
+    act_seq = jnp.stack(act_l)
+    rew_seq = jnp.stack(rew_l)
+    done_seq = jnp.stack(done_l)
+    return _postprocess_round(obs0, obs_seq, act_seq, rew_seq, done_seq,
+                              labels)
+
+
+@jax.jit
+def _postprocess_round(obs0, obs_seq, act_seq, rew_seq, done_seq, labels):
+    """Episode extraction + repeat-last padding (shared by both drivers)."""
+    n_steps = obs_seq.shape[0]
+    t_done = jnp.argmax(done_seq > 0, axis=0)  # (N,)
+    t_idx = jnp.arange(n_steps)[:, None]
+    gather_t = jnp.minimum(t_idx, t_done[None, :])
+
+    def pad_gather(x):
+        return jnp.take_along_axis(x, gather_t[:, :, None], axis=0)
+
+    states = jnp.concatenate([obs0[None], pad_gather(obs_seq)], axis=0)
+    acts = pad_gather(act_seq)
+    acts = jnp.concatenate([acts, acts[-1:]], axis=0)
+    rewards = jnp.sum(rew_seq * (t_idx <= t_done[None, :]), axis=0)
+    return (labels, states.transpose(1, 0, 2), acts.transpose(1, 0, 2),
+            rewards)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("task", "policy_apply", "collect_policy",
+                              "max_episode_length"))
 def _collect_round(task, policy_apply, collect_policy, max_episode_length,
                    policy_params, distr, key):
     """One synchronized round; returns padded episodes for every env.
@@ -108,23 +171,8 @@ def _collect_round(task, policy_apply, collect_policy, max_episode_length,
     keys = jax.random.split(k_scan, n_steps)
     _, (obs_seq, act_seq, rew_seq, done_seq) = jax.lax.scan(
         body, (env_state, obs0), keys)
-    # First done step per env (guaranteed <= n_steps - 1 by the timeout).
-    t_done = jnp.argmax(done_seq > 0, axis=0)  # (N,)
-    t_idx = jnp.arange(n_steps)[:, None]
-    gather_t = jnp.minimum(t_idx, t_done[None, :])  # repeat-last padding
-
-    def pad_gather(x):  # (T, N, D) -> (T, N, D) frozen after t_done
-        return jnp.take_along_axis(x, gather_t[:, :, None], axis=0)
-
-    states = jnp.concatenate([obs0[None], pad_gather(obs_seq)], axis=0)
-    # Actions padded to max_episode_length by repeating the last action
-    # (pad_states_actions semantics): one extra padded row.
-    acts = pad_gather(act_seq)
-    acts = jnp.concatenate([acts, acts[-1:]], axis=0)
-    rewards = jnp.sum(rew_seq * (t_idx <= t_done[None, :]), axis=0)
-    # (N, L, D) layout.
-    return (labels, states.transpose(1, 0, 2), acts.transpose(1, 0, 2),
-            rewards)
+    return _postprocess_round(obs0, obs_seq, act_seq, rew_seq, done_seq,
+                              labels)
 
 
 def collect_trajectories(
@@ -156,11 +204,13 @@ def collect_trajectories(
     policy_apply = ppo.policy_apply
     collect_policy = (policy_rl if collect_policy_fxn is None
                       else collect_policy_fxn)
+    round_fn = (_collect_round_host if task.prefer_host_loop
+                else _collect_round)
     n_rounds = -(-num_trajs // task.num_envs)  # ceil
     all_params, all_states, all_acts, all_rews = [], [], [], []
     for r in range(n_rounds):
         key, k_round = jax.random.split(key)
-        labels, states, acts, rews = _collect_round(
+        labels, states, acts, rews = round_fn(
             task, policy_apply, collect_policy, max_episode_length,
             ppo.train_state.params, distr, k_round)
         all_params.append(labels)
