@@ -1,0 +1,131 @@
+"""Behavioral sanity tests for the physics-engine tasks: parameters must
+affect dynamics in the physically expected direction (the property BayesSim
+inference depends on)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bayes_sim_ig_tpu.distributions import MoG, to_device_distr
+from bayes_sim_ig_tpu.sim import make_env
+from .test_tasks import load_cfg
+
+
+def _delta_env(task_name, mean, num_envs=4):
+    cfg = load_cfg(task_name, num_envs)
+    env = make_env(task_name, cfg)
+    spec = env.task.params_spec
+    mog = MoG(a=[1.0], ms=[np.asarray(mean, np.float64)],
+              Ss=[np.eye(spec.dim) * 1e-12])
+    env.set_distr(to_device_distr(mog, spec.lows, spec.highs))
+    return env
+
+
+class TestIngenuityThrust:
+    def test_heavier_chassis_climbs_less(self):
+        # Full upward thrust for 0.5 s: a 3x-heavier craft gains less
+        # altitude — the mass dim is identifiable from trajectories.
+        gains = []
+        for chassis_mult in (1.0, 3.0):
+            mean = np.ones(9)
+            mean[0] = chassis_mult
+            mean[5:] = 0.1
+            env = _delta_env("Ingenuity", mean)
+            obs = env.reset()
+            z0 = 1.0 - np.asarray(obs)[:, 2].mean()  # target z=1 - rel_z
+            act = np.zeros((4, 6), np.float32)
+            act[:, 2] = 1.0
+            act[:, 5] = 1.0
+            for _ in range(50):
+                obs, _, _, _ = env.step(jnp.asarray(act))
+            z1 = 1.0 - np.asarray(obs)[:, 2].mean()
+            gains.append(z1 - z0)
+        assert gains[1] < gains[0] - 0.05, gains
+
+
+class TestBallBalanceTilt:
+    def test_leg_torque_tilts_tray_and_ball_rolls(self):
+        mean = np.ones(7)
+        env = _delta_env("BallBalance", mean, num_envs=4)
+        obs = env.reset()
+        # Constant asymmetric leg torque tilts the tray; the ball's
+        # tray-frame position must move from its start.
+        start = np.asarray(obs)[:, :2].copy()
+        act = jnp.asarray(np.array([[1.0, -1.0, 0.0]] * 4, np.float32))
+        moved = 0.0
+        for _ in range(40):
+            obs, _, _, _ = env.step(act)
+        end = np.asarray(obs)[:, :2]
+        moved = np.linalg.norm(end - start, axis=1).mean()
+        assert moved > 0.02, moved
+
+    def test_high_leg_friction_damps_response(self):
+        # dof friction resists actuation: with friction 100 the driven leg
+        # joints move less under the same torque.
+        moves = []
+        for fric in (0.1, 100.0):
+            mean = np.ones(7)
+            mean[1:] = fric
+            env = _delta_env("BallBalance", mean, num_envs=4)
+            obs = env.reset()
+            q0 = np.asarray(obs)[:, 12:18].copy()  # leg dof positions
+            act = jnp.asarray(np.array([[1.0, -1.0, 1.0]] * 4, np.float32))
+            for _ in range(30):
+                obs, _, _, _ = env.step(act)
+            q1 = np.asarray(obs)[:, 12:18]
+            moves.append(float(np.abs(q1 - q0).mean()))
+        assert moves[1] < moves[0], moves
+
+
+class TestFrankaReach:
+    def test_pd_arm_tracks_targets(self):
+        mean = np.ones(19)
+        mean[:10] = 0.8
+        env = _delta_env("FrankaCabinet", mean, num_envs=2)
+        obs = env.reset()
+        d0 = np.linalg.norm(np.asarray(obs)[:, 20:23], axis=1).mean()
+        # Drive joint 2/4 toward the cabinet for a second.
+        act = np.zeros((2, 9), np.float32)
+        act[:, 1] = 0.6
+        act[:, 3] = 0.6
+        for _ in range(60):
+            obs, _, _, _ = env.step(jnp.asarray(act))
+        d1 = np.linalg.norm(np.asarray(obs)[:, 20:23], axis=1).mean()
+        assert d1 < d0, (d0, d1)  # hand moved toward the handle
+
+    def test_low_drive_gain_tracks_slower(self):
+        errs = []
+        for gain in (1.8, 0.1):
+            mean = np.ones(19)
+            mean[:10] = 0.8
+            mean[10:] = gain
+            env = _delta_env("FrankaCabinet", mean, num_envs=2)
+            env.reset()
+            act = np.zeros((2, 9), np.float32)
+            act[:, 0] = 1.0  # swing joint 1
+            for _ in range(30):
+                obs, _, _, _ = env.step(jnp.asarray(act))
+            # dof_pos[0] scaled to [-1, 1]: stronger gain => moved further.
+            errs.append(abs(float(np.asarray(obs)[:, 0].mean())))
+        assert errs[1] < errs[0], errs
+
+
+class TestShadowHandCube:
+    def test_cube_scale_sets_rest_height_and_stays_finite(self):
+        # Measure the cube height shortly after reset (before the unheld
+        # PD wrist drifts the pose) across the full DR scale range.
+        heights = []
+        for scale in (0.6, 1.8):
+            mean = np.ones(32)
+            mean[-2] = scale  # object scale dim
+            env = _delta_env("ShadowHand", mean, num_envs=2)
+            obs = env.reset()
+            h0 = float(np.asarray(obs)[:, 50].mean())  # pos-rel-palm z
+            for _ in range(30):
+                obs, _, done, _ = env.step(jnp.zeros((2, 20)))
+            assert np.isfinite(np.asarray(obs)).all()
+            heights.append(h0)
+        # A larger cube starts/rests higher above the palm anchor.
+        assert heights[1] > heights[0] + 0.02, heights
