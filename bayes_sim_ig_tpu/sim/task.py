@@ -196,6 +196,40 @@ def env_step(task: Task, distr: DeviceDistr, state: EnvState,
     return new_state, obs, rew, reset_buf
 
 
+class ParamsGeneratorFacade:
+    """Reference-compatible view of a task's param spec
+    (``ParamsGenerator``'s used surface: names/lows/highs/defaults/
+    skip_ids + set_distr + sample, params_generator.py:78-118), so code
+    written against the reference can drive this framework unchanged.
+    ``set_distr`` accepts host pdf objects and retargets the env's device
+    sampler."""
+
+    def __init__(self, spec, vec_env: "VecEnv"):
+        self._spec = spec
+        self._vec_env = vec_env
+        self._host_distr = None
+
+    names = property(lambda self: self._spec.names)
+    lows = property(lambda self: self._spec.lows)
+    highs = property(lambda self: self._spec.highs)
+    defaults = property(lambda self: self._spec.defaults)
+    skip_ids = property(lambda self: self._spec.skip_ids)
+
+    def set_distr(self, distr):
+        from ..distributions.device import to_device_distr
+        self._host_distr = distr
+        self._vec_env.set_distr(
+            to_device_distr(distr, self._spec.lows, self._spec.highs))
+
+    def sample(self):
+        """One flat host-side sample, clipped to bounds
+        (params_generator.py:115-118). The hot path samples whole batches
+        on device instead; this exists for reference-API compatibility."""
+        import numpy as np
+        flat = self._host_distr.gen(n_samples=1)[0]
+        return np.clip(flat, self._spec.lows, self._spec.highs)
+
+
 class VecEnv:
     """Thin stateful wrapper over the pure env functions, exposing the
     surface the reference code uses (``reset()``, ``step(act)``,
@@ -212,6 +246,8 @@ class VecEnv:
         self._reset_jit = jax.jit(
             env_full_reset, static_argnames=("task",))
         self.max_episode_length = task.max_episode_length
+        task.actor_params_generator = ParamsGeneratorFacade(
+            task.params_spec, self)
 
     def set_distr(self, device_distr: DeviceDistr):
         """Sets the params sampling distribution (ParamsGenerator.set_distr,

@@ -226,3 +226,19 @@ class TestNoise:
                                    rtol=1e-6)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                    rtol=1e-6)
+
+
+class TestParamsGeneratorFacade:
+    def test_reference_surface(self):
+        from bayes_sim_ig_tpu.distributions import pdf
+        env = make_env("Pendulum", pendulum_cfg(num_envs=4))
+        gen = env.task.actor_params_generator
+        assert list(gen.names) == ["pendulum_mass_mult",
+                                   "pendulum_length_mult"]
+        gen.set_distr(pdf.Uniform(gen.lows, gen.highs))
+        smpl = gen.sample()
+        assert smpl.shape == (2,)
+        assert (smpl >= gen.lows).all() and (smpl <= gen.highs).all()
+        # set_distr also retargeted the env's device sampler.
+        obs = env.reset()
+        assert obs.shape == (4, 3)
