@@ -45,9 +45,9 @@ from .utils.args import init_args, log_args, check_distr, load_real_params
 from .utils.collect import collect_trajectories, get_collect_policy
 
 
-def _make_writer(logdir):
+def _make_writer(logdir, sub="bsim"):
     from tensorboardX import SummaryWriter
-    return SummaryWriter(logdir=os.path.join(logdir, "bsim"), flush_secs=10)
+    return SummaryWriter(logdir=os.path.join(logdir, sub), flush_secs=10)
 
 
 def main(argv=None):
@@ -78,10 +78,15 @@ def main(argv=None):
     bs_cfg = cfg_env["bayessim"]
     ftune_rl = bs_cfg["ftuneRL"]
     set_env_distr(sim_params_distr)
+    # RL curves live in their own TB run dirs (rl_<iter> when restarting,
+    # one run when finetuning), matching the reference's TensorBoard layout
+    # (bayes_sim_main.py:83,112; README.md:95-124).
+    rl_writer = _make_writer(args.logdir,
+                             "rl" if ftune_rl else "rl_0")
     ppo = process_ppo(env, cfg_train,
                       args.logdir if ftune_rl
                       else os.path.join(args.logdir, "rl_0"),
-                      writer=writer, seed=args.seed)
+                      writer=rl_writer, seed=args.seed)
     if "policyCheckpt" in bs_cfg:
         ppo.load(bs_cfg["policyCheckpt"])
     collect_policy_fxn = get_collect_policy(bs_cfg["collectPolicy"])
@@ -127,7 +132,8 @@ def main(argv=None):
         set_env_distr(sim_params_distr)
         if not ftune_rl and real_iter_id > 0:
             ppo_logdir = os.path.join(args.logdir, f"rl_{real_iter_id}")
-            ppo = process_ppo(env, cfg_train, ppo_logdir, writer=writer,
+            rl_writer = _make_writer(args.logdir, f"rl_{real_iter_id}")
+            ppo = process_ppo(env, cfg_train, ppo_logdir, writer=rl_writer,
                               seed=args.seed + real_iter_id)
             ppo.run(num_learning_iterations=args.max_iterations,
                     log_interval=cfg_train["learn"].get("save_interval", 50))
