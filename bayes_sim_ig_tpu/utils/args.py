@@ -34,7 +34,12 @@ def snake_case(task_name: str) -> str:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         "BayesSimIG-TPU", description="Adaptive domain randomization on TPU")
-    p.add_argument("--task", required=True, choices=SUPPORTED_TASKS)
+    p.add_argument("--task", required=True,
+                   help=f"one of {SUPPORTED_TASKS} or any task registered "
+                        "via --task_module")
+    p.add_argument("--task_module", default=None,
+                   help="importable module that registers custom tasks "
+                        "(calls bayes_sim_ig_tpu.sim.register_task)")
     p.add_argument("--logdir", default="/tmp/bsim_tpu")
     p.add_argument("--max_iterations", type=int, default=20,
                    help="RL learning iterations per ADR iteration")
@@ -64,6 +69,14 @@ def init_args(argv=None):
     """Parses args, loads env/train configs, derives the run logdir
     (reference init_args, args.py:23-68)."""
     args = build_parser().parse_args(argv)
+    if args.task_module:
+        import importlib
+        importlib.import_module(args.task_module)
+    from ..sim import available_tasks
+    if args.task not in available_tasks():
+        raise SystemExit(
+            f"Unknown task '{args.task}'. Available: {available_tasks()} "
+            "(register custom tasks via --task_module)")
     pfx = snake_case(args.task)
     if args.cfg_env is None:
         args.cfg_env = os.path.join(_PKG_ROOT, "cfg", pfx + ".yaml")
