@@ -81,8 +81,19 @@ class BayesSim:
         (bayes_sim.py:91-114)."""
         traj_summaries = self.summarizer_fxn(jnp.asarray(traj_states),
                                              jnp.asarray(traj_actions))
+        params = jnp.asarray(params)
+        # Drop trajectories whose features or labels are non-finite (a
+        # physics blow-up under extreme DR): one bad row would NaN the
+        # whole MDN fit and with it every later posterior.
+        ok = (jnp.isfinite(traj_summaries).all(axis=1)
+              & jnp.isfinite(params).all(axis=1))
+        if not bool(ok.all()):
+            n_bad = int((~ok).sum())
+            print(f"dropping {n_bad} non-finite trajs of {ok.shape[0]}")
+            traj_summaries = traj_summaries[ok]
+            params = params[ok]
         return self.model.run_training(
-            x_data=traj_summaries, y_data=jnp.asarray(params),
+            x_data=traj_summaries, y_data=params,
             n_updates=BayesSim.NUM_GRAD_UPDATES,
             batch_size=BayesSim.MINIBATCH_SIZE,
             test_frac=BayesSim.TEST_FRACTION)

@@ -255,6 +255,18 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
     return qdd, kin
 
 
+# Rigid-body velocity caps (PhysX defaults the reference's engine runs
+# with: maxLinearVelocity 1e2-class, maxAngularVelocity 64 rad/s).
+MAX_LIN_VEL = 100.0
+MAX_ANG_VEL = 64.0
+
+
+def _clamp_norm(vec, vmax):
+    """Rescales ``vec`` so its norm is at most ``vmax`` (direction kept)."""
+    n = jnp.linalg.norm(vec)
+    return vec * (vmax / jnp.maximum(n, vmax))
+
+
 def integrate(model: ArticulatedModel, q, v, qdd, dt):
     """Semi-implicit Euler; free-joint velocities are advanced in the WORLD
     frame and re-expressed in the rotated body frame.
@@ -263,7 +275,13 @@ def integrate(model: ArticulatedModel, q, v, qdd, dt):
     -w x v; integrating it with explicit Euler inflates |v| by
     sqrt(1 + (|w| dt)^2) per step — an energy pump that blows up spinning
     free bodies. Advancing in world coordinates makes the frame-rotation
-    part of the update an exact re-projection (norm-preserving)."""
+    part of the update an exact re-projection (norm-preserving).
+
+    Velocities are clamped after the advance, mirroring the engine limits
+    the reference relies on (PhysX maxJointVelocity per dof and the rigid
+    -body max linear/angular velocities): under extreme DR (ultra-light
+    links with strong actuators) accelerations are enormous and the
+    unclamped semi-implicit update diverges to NaN within an episode."""
     v_new = v + dt * qdd
     q_new = q
     for i in range(model.nb):
@@ -280,8 +298,8 @@ def integrate(model: ArticulatedModel, q, v, qdd, dt):
             aw_lin = R @ (qdd[vi + 3:vi + 6] +
                           jnp.cross(w_body, vl_body))
             aw_ang = R @ qdd[vi:vi + 3]
-            vw = R @ vl_body + dt * aw_lin
-            ww = R @ w_body + dt * aw_ang
+            vw = _clamp_norm(R @ vl_body + dt * aw_lin, MAX_LIN_VEL)
+            ww = _clamp_norm(R @ w_body + dt * aw_ang, MAX_ANG_VEL)
             pos = q[qi:qi + 3] + dt * vw
             quat_n = quat_integrate(quat, ww, dt)
             R_n = quat_to_rot(quat_n)
@@ -290,6 +308,8 @@ def integrate(model: ArticulatedModel, q, v, qdd, dt):
             v_new = v_new.at[vi:vi + 3].set(R_n.T @ ww)
             v_new = v_new.at[vi + 3:vi + 6].set(R_n.T @ vw)
         elif jt in ("revolute", "prismatic"):
+            vmax = model.max_velocity[vi]
+            v_new = v_new.at[vi].set(jnp.clip(v_new[vi], -vmax, vmax))
             q_new = q_new.at[qi].set(q[qi] + dt * v_new[vi])
     return q_new, v_new
 

@@ -56,6 +56,10 @@ class LinkSpec:
     limit_lower: float = -1e9
     limit_upper: float = 1e9
     effort: float = 1e9               # actuator torque/force limit
+    # PhysX-style joint velocity limit (maxJointVelocity). Keeps the
+    # integrator bounded under extreme DR (e.g. 0.01x link masses give
+    # huge qdd; without a clamp velocities diverge exponentially to NaN).
+    max_velocity: float = 100.0
 
 
 class ArticulatedModel:
@@ -104,6 +108,7 @@ class ArticulatedModel:
         self.limit_lower = dof_vec("limit_lower")
         self.limit_upper = dof_vec("limit_upper")
         self.effort = dof_vec("effort")
+        self.max_velocity = dof_vec("max_velocity")
         self.link_index = {l.name: i for i, l in enumerate(self.links)}
         self.dof_names = [l.name for l in self.links
                           if JOINT_DOF[l.joint_type] == 1]

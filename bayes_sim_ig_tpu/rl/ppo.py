@@ -218,10 +218,19 @@ class PPO:
                     params, opt_state = carry
                     (loss, aux), grads = jax.value_and_grad(
                         loss_fn, has_aux=True)(params, mb)
-                    updates, opt_state = opt.update(grads, opt_state, params)
-                    updates = jax.tree_util.tree_map(
-                        lambda u: u * train_state.lr, updates)
-                    params = optax.apply_updates(params, updates)
+                    # Skip non-finite updates: one bad minibatch (extreme-DR
+                    # reward spike) must not NaN the policy for good.
+                    ok = jnp.isfinite(loss)
+                    for g in jax.tree_util.tree_leaves(grads):
+                        ok &= jnp.isfinite(g).all()
+                    new_upd, new_opt = opt.update(grads, opt_state, params)
+                    opt_state = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(ok, a, b), new_opt, opt_state)
+                    new_params = optax.apply_updates(
+                        params, jax.tree_util.tree_map(
+                            lambda u: u * train_state.lr, new_upd))
+                    params = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(ok, a, b), new_params, params)
                     return (params, opt_state), (loss, *aux)
 
                 (params, opt_state), metrics = jax.lax.scan(

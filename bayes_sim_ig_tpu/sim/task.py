@@ -178,16 +178,27 @@ def env_step(task: Task, distr: DeviceDistr, state: EnvState,
     task_state = _tree_select(need_reset, state_begin, stepped)
     rew = task.reward(state_begin, actions, params)
 
+    # A physics blow-up in one env must not poison the batch: envs whose
+    # state went non-finite are terminated (they re-randomize and reset on
+    # the next step, like any done env) and their outputs sanitized. The
+    # integrator's velocity clamps make this rare, but extreme DR corners
+    # can still overflow in a single step.
+    finite = jnp.ones(n, dtype=bool)
+    for leaf in jax.tree_util.tree_leaves(task_state):
+        finite &= jnp.isfinite(leaf.reshape(n, -1)).all(axis=1)
+
     progress = jnp.where(need_reset, 0, state.progress + 1)
     timeout = progress >= max_episode_length - 1
     early = task.early_termination(task_state, params)
-    reset_buf = (timeout | early).astype(jnp.int32)
+    reset_buf = (timeout | early | ~finite).astype(jnp.int32)
+    rew = jnp.where(finite & jnp.isfinite(rew), rew, 0.0)
 
     obs = task.observe(task_state, params)
     if task.obs_noise is not None:
         obs = apply_noise(task.obs_noise, k_obs, obs, obs_corr,
                           state.frame_count)
     obs = jnp.clip(obs, -CLIP_OBSERVATIONS, CLIP_OBSERVATIONS)
+    obs = jnp.where(finite[:, None] & jnp.isfinite(obs), obs, 0.0)
 
     new_state = EnvState(
         task_state=task_state, params=params, progress=progress,

@@ -239,3 +239,30 @@ class TestJointDynamics:
 
         q, v = run(q, v)
         assert abs(float(q[0])) < 0.2  # settled near zero
+
+
+class TestVelocityClamps:
+    def test_joint_velocity_clamped_to_max(self):
+        # PhysX-style maxJointVelocity: a huge qdd (ultra-light link under
+        # full torque) must leave |v| bounded by the limit.
+        pend = ArticulatedModel([LinkSpec(
+            "rod", parent=-1, joint_type="revolute", joint_axis=(0, 1, 0),
+            mass=0.001, com=(0, 0, -0.5), inertia=(1e-6, 1e-6, 1e-9),
+            max_velocity=50.0)])
+        q, v = jnp.zeros(1), jnp.zeros(1)
+        q, v = integrate(pend, q, v, jnp.array([1e9]), 1 / 60.0)
+        assert abs(float(v[0])) == pytest.approx(50.0)
+
+    def test_free_body_velocity_norm_clamped(self):
+        from bayes_sim_ig_tpu.physics.dynamics import (MAX_LIN_VEL,
+                                                       MAX_ANG_VEL)
+        body = ArticulatedModel([LinkSpec(
+            "b", parent=-1, joint_type="free", mass=1.0)],
+            fixed_base=False)
+        q = jnp.asarray(body.neutral_q())
+        v = jnp.zeros(6)
+        qdd = jnp.array([1e8, -2e8, 3e8, 4e8, 5e8, -6e8])
+        q, v = integrate(body, q, v, qdd, 1 / 60.0)
+        assert np.isfinite(np.asarray(q)).all()
+        assert float(jnp.linalg.norm(v[:3])) <= MAX_ANG_VEL * 1.001
+        assert float(jnp.linalg.norm(v[3:])) <= MAX_LIN_VEL * 1.001

@@ -242,3 +242,38 @@ class TestParamsGeneratorFacade:
         # set_distr also retargeted the env's device sampler.
         obs = env.reset()
         assert obs.shape == (4, 3)
+
+
+class TestNonFiniteQuarantine:
+    def test_blown_up_env_is_reset_not_propagated(self):
+        # An env whose physics goes NaN must emit sanitized outputs, be
+        # flagged done, and reset (with fresh params) on the next step —
+        # one unstable DR corner must not poison the whole batch.
+        from bayes_sim_ig_tpu.sim.pendulum import Pendulum
+        from bayes_sim_ig_tpu.sim.task import VecEnv
+
+        class Exploding(Pendulum):
+            def physics_step(self, state, actions, params, key):
+                new = super().physics_step(state, actions, params, key)
+                bomb = jnp.where(jnp.arange(new.th.shape[0]) == 0,
+                                 jnp.nan, 0.0)
+                return new._replace(th=new.th + bomb)
+
+        cfg = pendulum_cfg(num_envs=4, episode_len=50)
+        task = Exploding(cfg)
+        env = VecEnv(task, seed=0)
+        spec = task.params_spec
+        env.set_distr(to_device_distr(Uniform(spec.lows, spec.highs)))
+        env.reset()
+        p0 = np.asarray(env.extern_params).copy()
+        obs, rew, done, _ = env.step(jnp.zeros((4, 1)))
+        assert np.isfinite(np.asarray(obs)).all()
+        assert np.isfinite(np.asarray(rew)).all()
+        done = np.asarray(done)
+        assert done[0] == 1 and (done[1:] == 0).all()
+        # Next step: env 0 re-randomizes and restarts; others continue.
+        env.step(jnp.zeros((4, 1)))
+        p1 = np.asarray(env.extern_params)
+        assert np.abs(p1[0] - p0[0]).max() > 1e-3
+        np.testing.assert_array_equal(p1[1:], p0[1:])
+        assert np.asarray(env.state.progress)[0] == 0
