@@ -56,3 +56,35 @@ def test_sharded_collection_matches_layout():
     assert obs.shape == (n_envs, 3)
     # The obs sharding spans all 8 devices.
     assert len(obs.sharding.device_set) == 8
+
+
+def test_sharded_physics_engine_step():
+    """The Featherstone-engine path (Ant: CRBA + contacts + per-env DR
+    resampling) compiles and runs with an env-sharded EnvState — the
+    flagship multi-chip layout: physics params and state sharded over the
+    env axis, zero cross-device traffic inside a step."""
+    from bayes_sim_ig_tpu.parallel import make_mesh, shard_env_state
+    from bayes_sim_ig_tpu.sim import make_env
+    from bayes_sim_ig_tpu.sim.task import env_step
+    from bayes_sim_ig_tpu.distributions import Uniform, to_device_distr
+    from .test_tasks import load_cfg
+
+    n_envs = 16
+    cfg = load_cfg("Ant", n_envs)
+    env = make_env("Ant", cfg)
+    spec = env.task.params_spec
+    distr = to_device_distr(Uniform(spec.lows, spec.highs))
+    env.set_distr(distr)
+    env.reset()
+    mesh = make_mesh(8)
+    with mesh:
+        state = shard_env_state(env.state, mesh, n_envs)
+        step = jax.jit(env_step, static_argnames=("task",
+                                                  "max_episode_length"))
+        for _ in range(3):
+            state, obs, rew, done = step(env.task, distr, state,
+                                         jnp.zeros((n_envs, 8)), 10)
+        jax.block_until_ready(obs)
+    assert np.isfinite(np.asarray(obs)).all()
+    assert len(obs.sharding.device_set) == 8
+    assert len(state.params.sharding.device_set) == 8
