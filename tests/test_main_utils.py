@@ -86,3 +86,26 @@ def test_checkpoint_roundtrip(tmp_path):
 
 def test_load_latest_checkpoint_empty(tmp_path):
     assert _load_latest_checkpoint(str(tmp_path), _StubPPO()) is None
+
+
+def test_plot_posterior_writes_tb_images(tmp_path):
+    # The posterior pair-plot pipeline (reference plot.py:131-149) must
+    # render headless and land image tags in the event file, honoring
+    # skip_ids.
+    from torch.utils.tensorboard import SummaryWriter
+    from bayes_sim_ig_tpu.utils.plot import plot_posterior
+    from bayes_sim_ig_tpu.distributions import MoG
+    post = MoG(a=[0.6, 0.4], ms=[[0.4, 1.0, 1.4], [0.6, 1.2, 1.5]],
+               Ss=[np.eye(3) * 0.01] * 2)
+    writer = SummaryWriter(str(tmp_path))
+    plot_posterior(writer, "BayesSim/posterior", 3,
+                   ["a_mult", "b_mult", "c_mult"], skip_ids=[1],
+                   true_params=[0.5, 1.1, 1.45], posterior=post,
+                   p_lower=np.zeros(3), p_upper=np.full(3, 2.0))
+    writer.close()
+    from tensorboard.backend.event_processing.event_accumulator import \
+        EventAccumulator
+    ea = EventAccumulator(str(tmp_path))
+    ea.Reload()
+    tags = ea.Tags()["images"]
+    assert tags == ["BayesSim/posterior_a_mult_vs_c_mult"], tags
