@@ -32,18 +32,20 @@ __version__ = "0.1.0"
 
 
 def _enable_persistent_compile_cache():
-    """Persistent XLA compilation cache: articulated-physics programs take
-    minutes to compile; cache hits make repeat runs (and ADR iterations
-    across processes) start fast. Opt out with BSIM_NO_COMPILE_CACHE=1."""
+    """Persistent XLA compilation cache, opt-IN via BSIM_COMPILE_CACHE=<dir>.
+
+    Off by default: cached CPU executables are AOT-specialized to the
+    exact XLA feature flags of the writing process, and loading an entry
+    written under different flags (e.g. a forced multi-device test env)
+    segfaults the interpreter outright. The TPU path never benefited
+    anyway — its remote compiler bypasses this cache."""
     import os
-    if os.environ.get("BSIM_NO_COMPILE_CACHE"):
+    if not os.environ.get("BSIM_COMPILE_CACHE"):
         return
     try:
         import jax
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("BSIM_COMPILE_CACHE",
-                           os.path.expanduser("~/.cache/bsim_jax")))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["BSIM_COMPILE_CACHE"])
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:  # older jax or read-only fs: not fatal
         pass

@@ -131,10 +131,13 @@ def main(argv=None):
         print("============= Train RL before real_iter_id", real_iter_id)
         set_env_distr(sim_params_distr)
         if not ftune_rl and real_iter_id > 0:
+            # Restart RL from scratch (reference bayes_sim_main.py:111-122)
+            # by re-initializing the existing trainer: same shapes, so the
+            # compiled rollout/update programs are reused.
             ppo_logdir = os.path.join(args.logdir, f"rl_{real_iter_id}")
             rl_writer = _make_writer(args.logdir, f"rl_{real_iter_id}")
-            ppo = process_ppo(env, cfg_train, ppo_logdir, writer=rl_writer,
-                              seed=args.seed + real_iter_id)
+            ppo.reinit(seed=args.seed + real_iter_id, logdir=ppo_logdir,
+                       writer=rl_writer)
             ppo.run(num_learning_iterations=args.max_iterations,
                     log_interval=cfg_train["learn"].get("save_interval", 50))
         else:

@@ -38,6 +38,7 @@ class BayesSim:
         """
         self.prior = prior
         self.proposal = proposal
+        self._refit_model = None
         model_class = model_cfg["modelClass"]
         self.summarizer_fxn = get_summarizer(model_cfg["summarizerFxn"])
         tmp = self.summarizer_fxn(
@@ -103,8 +104,19 @@ class BayesSim:
         (bayes_sim.py:116-179). With several trajectories, the per-trajectory
         mixtures are combined by resampling and refitting an unconditional
         MDNN."""
+        import os
+        sync = bool(os.environ.get("BSIM_PHASE_SYNC"))
+
+        def _phase(msg):
+            if sync:
+                print(f"[phase] predict: {msg}", flush=True)
         xs = self.summarizer_fxn(jnp.asarray(states), jnp.asarray(actions))
+        if sync:
+            import jax
+            jax.block_until_ready(xs)
+        _phase(f"summaries ready {tuple(xs.shape)}")
         mogs = self.model.predict_MoGs(xs)
+        _phase(f"{len(mogs)} conditioned MoGs ready")
         if self.proposal is not None:
             for i, mog in enumerate(mogs):
                 mog.prune_negligible_components(threshold=threshold)
@@ -119,23 +131,38 @@ class BayesSim:
         if len(mogs) == 1:
             return mogs[0]
         # Combine: resample the mixtures, fit a small unconditional MDNN.
+        # The refit runs entirely on the host CPU backend: it is a tiny
+        # posterior-combination step (1e4 samples, zeros input), and
+        # compiling its trainer on the accelerator mid-run crashed the
+        # remote TPU runtime reproducibly once the process already held
+        # the large physics/RL programs. The model instance is also cached
+        # and re-initialized per call so the CPU trainer compiles once.
         tot_smpls = int(1e4)
         n_per_mog = tot_smpls // len(mogs)
         mog_smpls = np.concatenate(
             [mog.gen(n_samples=n_per_mog) for mog in mogs], axis=0)
-        mog_model = MDNN(
-            input_dim=1, output_dim=self.model.output_dim,
-            output_lows=self.model.output_lows,
-            output_highs=self.model.output_highs,
-            n_gaussians=self.model.n_gaussians,
-            hidden_layers=(128, 128), lr=self.model.lr,
-            activation=self.model.activation,
-            full_covariance=self.model.l_size > 0)
-        batch_size = 100
-        n_updates = 5 * tot_smpls // batch_size
-        inputs = np.zeros((mog_smpls.shape[0], 1), np.float32)
-        mog_model.run_training(inputs, mog_smpls.astype(np.float32),
-                               n_updates, batch_size)
-        fitted = mog_model.predict_MoGs(inputs[0:1, :])
+        _phase(f"refit samples drawn, finite="
+               f"{bool(np.isfinite(mog_smpls).all())}")
+        import jax
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            if self._refit_model is None:
+                self._refit_model = MDNN(
+                    input_dim=1, output_dim=self.model.output_dim,
+                    output_lows=self.model.output_lows,
+                    output_highs=self.model.output_highs,
+                    n_gaussians=self.model.n_gaussians,
+                    hidden_layers=(128, 128), lr=self.model.lr,
+                    activation=self.model.activation,
+                    full_covariance=self.model.l_size > 0)
+            else:
+                self._refit_model.reinit()
+            mog_model = self._refit_model
+            batch_size = 100
+            n_updates = 5 * tot_smpls // batch_size
+            inputs = np.zeros((mog_smpls.shape[0], 1), np.float32)
+            mog_model.run_training(inputs, mog_smpls.astype(np.float32),
+                                   n_updates, batch_size)
+            _phase("refit trained")
+            fitted = mog_model.predict_MoGs(inputs[0:1, :])
         assert len(fitted) == 1
         return fitted[0]

@@ -104,28 +104,57 @@ def mdnn_forward(params, x, key, *, output_dim, n_gaussians, activation):
     return weights, mu, l_d, lower
 
 
+def _tril_layout(output_dim):
+    """Gather permutation + mask mapping [diag | packed-lower] -> (D, D)."""
+    perm = np.zeros((output_dim, output_dim), np.int32)
+    mask = np.zeros((output_dim, output_dim), np.float32)
+    di = np.arange(output_dim)
+    perm[di, di] = di
+    mask[di, di] = 1.0
+    rows, cols = np.tril_indices(output_dim, -1)
+    perm[rows, cols] = output_dim + np.arange(len(rows))
+    mask[rows, cols] = 1.0
+    return perm.ravel(), mask
+
+
 def _scale_tril(l_d_k, lower_k, output_dim):
-    """Builds (B, D, D) lower-triangular scale factors for one component."""
-    tril = jnp.zeros(l_d_k.shape[:1] + (output_dim, output_dim),
-                     l_d_k.dtype)
-    di = jnp.arange(output_dim)
-    tril = tril.at[:, di, di].set(l_d_k)
-    if lower_k is not None:
-        rows, cols = np.tril_indices(output_dim, -1)
-        tril = tril.at[:, rows, cols].set(lower_k)
-    return tril
+    """Builds (B, D, D) lower-triangular scale factors for one component.
+
+    Uses a single gather from the packed [diag | strict-lower] vector
+    rather than index-scatters: scatter-built (B, D, D) tensors inside the
+    training scan crashed the TPU runtime outright at D~100."""
+    if lower_k is None:
+        return l_d_k[:, None, :] * jnp.eye(output_dim, dtype=l_d_k.dtype)
+    perm, mask = _tril_layout(output_dim)
+    packed = jnp.concatenate([l_d_k, lower_k], axis=1)
+    tril = packed[:, perm].reshape(
+        l_d_k.shape[0], output_dim, output_dim)
+    return tril * jnp.asarray(mask, l_d_k.dtype)
 
 
 def mdn_loss(weights, mu, l_d, lower, y):
     """Mixture NLL (mdnn.py:127-178): clamp per-component log-probs to
-    +-1e5, add log weights, logsumexp, negate, mean over batch."""
+    +-1e5, add log weights, logsumexp, negate, mean over batch.
+
+    Diagonal covariance takes the O(B*K*D) whitening path (z = diff / l_d,
+    vectorized over components); building (B, D, D) scale matrices and
+    triangular-solving — as the full-covariance branch must — is O(D^2)
+    memory and made 100+-dim fits (e.g. ShadowHand's 111 params)
+    pathologically slow."""
     batch, output_dim, n_gaussians = mu.shape
     log2pi = jnp.log(2.0 * jnp.pi).astype(y.dtype)
+    if lower is None:
+        z = (y[:, :, None] - mu) / l_d                  # (B, D, K)
+        logdet = jnp.sum(jnp.log(l_d), axis=1)          # (B, K)
+        lp = -0.5 * (jnp.sum(z * z, axis=1)
+                     + output_dim * log2pi) - logdet    # (B, K)
+        lp = jnp.clip(lp, -LL_LIMIT, LL_LIMIT)
+        w = jnp.clip(weights, MIN_WEIGHT, 1.0)          # (B, K)
+        result = lp + jnp.log(w)
+        return -jax.scipy.special.logsumexp(result, axis=1).mean()
     comp_lps = []
     for k in range(n_gaussians):
-        tril = _scale_tril(l_d[:, :, k],
-                           None if lower is None else lower[:, :, k],
-                           output_dim)
+        tril = _scale_tril(l_d[:, :, k], lower[:, :, k], output_dim)
         diff = y - mu[:, :, k]
         z = jax.scipy.linalg.solve_triangular(tril, diff[..., None],
                                               lower=True)[..., 0]
@@ -173,6 +202,17 @@ class MDNN:
         self._optimizer = optax.adam(self.lr)
         self._train_fn = None  # built lazily (jit cache keyed on shapes)
 
+    def reinit(self):
+        """Re-draws fresh init weights, keeping the compiled trainer.
+        Lets callers that repeatedly fit from scratch (the engine's
+        multi-trajectory posterior refit) reuse one instance instead of
+        compiling a new trainer per call — repeated fresh compiles
+        eventually crashed the remote TPU runtime outright."""
+        self._key, init_key = jax.random.split(self._key)
+        self.params = init_mdnn_params(
+            init_key, self.input_dim, self.output_dim, self.n_gaussians,
+            self.hidden_layers, self.full_covariance)
+
     # ------------------------------------------------------------------ #
     def _forward(self, params, x, key):
         return mdnn_forward(params, x, key, output_dim=self.output_dim,
@@ -195,20 +235,34 @@ class MDNN:
 
             def step(carry, step_key):
                 params, opt_state = carry
-                k_batch, k_noise, k_test = jax.random.split(step_key, 3)
+                k_batch, k_noise = jax.random.split(step_key)
                 ids = jax.random.randint(k_batch, (batch_size,), 0, n_train)
                 loss, grads = jax.value_and_grad(loss_fn)(
                     params, x_train[ids], y_train[ids], k_noise)
                 updates, opt_state = optimizer.update(grads, opt_state,
                                                       params)
                 params = optax.apply_updates(params, updates)
-                test_loss = loss_fn(params, x_test, y_test, k_test)
-                return (params, opt_state), (loss, test_loss)
+                return (params, opt_state), loss
 
-            keys = jax.random.split(key, n_updates)
-            (params, _), (train_losses, test_losses) = jax.lax.scan(
-                step, (params, opt_state), keys)
-            return params, train_losses, test_losses
+            # Test loss is evaluated once per segment (n_updates//5), as in
+            # the reference (mdnn.py:235-242) — evaluating the full test
+            # split every update costs ~25x the minibatch step itself.
+            n_evals = min(5, n_updates)
+            bounds = [i * n_updates // n_evals for i in range(n_evals + 1)]
+            keys = jax.random.split(key, n_updates + n_evals)
+            train_parts, test_parts = [], []
+            carry = (params, opt_state)
+            for s in range(n_evals):
+                length = bounds[s + 1] - bounds[s]
+                if length > 0:
+                    carry, tr = jax.lax.scan(
+                        step, carry, keys[bounds[s]:bounds[s + 1]])
+                    train_parts.append(tr)
+                test_parts.append(loss_fn(carry[0], x_test, y_test,
+                                          keys[n_updates + s]))
+            params = carry[0]
+            return (params, jnp.concatenate(train_parts),
+                    jnp.stack(test_parts))
 
         return train_scan
 
@@ -241,8 +295,9 @@ class MDNN:
         checkpoints = list(range(0, int(n_updates), stride))
         if int(n_updates) - 1 not in checkpoints:
             checkpoints.append(int(n_updates) - 1)
+        # test_losses holds one entry per segment (min(5, n_updates)).
         return {"train_loss": [float(train_losses[i]) for i in checkpoints],
-                "test_loss": [float(test_losses[i]) for i in checkpoints]}
+                "test_loss": [float(t) for t in test_losses]}
 
     def normalize_samples(self, params):
         rng = jnp.asarray(self.output_highs - self.output_lows)

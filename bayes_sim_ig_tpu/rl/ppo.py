@@ -100,9 +100,9 @@ class PPO:
             seed = int(cfg_train.get("seed", 0))
         self._key = jax.random.PRNGKey(seed + 12345)
         self._key, init_key = jax.random.split(self._key)
-        params = networks.init_actor_critic(
-            init_key, self.task.obs_dim, self.task.act_dim, pi_hid, vf_hid,
-            init_noise_std)
+        self._net_spec = (self.task.obs_dim, self.task.act_dim, pi_hid,
+                          vf_hid, init_noise_std)
+        params = networks.init_actor_critic(init_key, *self._net_spec)
         # The lr is folded in manually after opt.update (updates below are
         # the negated Adam direction), so the KL-adaptive schedule can change
         # it without rebuilding optimizer state.
@@ -126,6 +126,25 @@ class PPO:
             lambda p, o, k: networks.sample_action(p, o, k, activation)[0])
         self._mean_fn = jax.jit(
             lambda p, o: networks.policy_mean(p, o, self.activation))
+
+    def reinit(self, seed: int, logdir: Optional[str] = None, writer=None):
+        """Fresh policy/optimizer/iteration counter, reusing the compiled
+        rollout/update programs (same shapes -> jit cache hits). The ADR
+        loop restarts RL every iteration when ftuneRL is off; re-creating
+        the PPO instance instead recompiles the (large) physics programs
+        each time, which is slow and eventually crashed the remote TPU
+        runtime."""
+        self._key = jax.random.PRNGKey(seed + 12345)
+        self._key, init_key = jax.random.split(self._key)
+        fresh = networks.init_actor_critic(init_key, *self._net_spec)
+        self.train_state = PPOTrainState(
+            params=fresh, opt_state=self._opt.init(fresh),
+            lr=jnp.asarray(self.init_lr))
+        self.current_learning_iteration = 0
+        if logdir is not None:
+            self.logdir = logdir
+        if writer is not None:
+            self.writer = writer
 
     # ------------------------------------------------------------------ #
     def act(self, obs, deterministic=False):

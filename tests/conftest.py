@@ -15,3 +15,21 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+# Modules whose tests each compile fresh (large) physics programs — every
+# test builds new Task instances, so nothing is reused across tests, but
+# the executables pile up in the process until XLA's CPU compiler
+# segfaults near the end of a full-suite run. Dropping the caches after
+# each such test bounds memory at zero recompile cost.
+_HEAVY_MODULES = ("test_tasks", "test_task_behaviors", "test_parallel",
+                  "test_ppo", "test_collect")
+
+
+@pytest.fixture(autouse=True)
+def _free_xla_executables(request):
+    yield
+    if request.module.__name__.rsplit(".", 1)[-1] in _HEAVY_MODULES:
+        jax.clear_caches()
