@@ -145,3 +145,21 @@ def test_registry():
     assert get_model_class("MDRFF") is MDRFF
     with pytest.raises(KeyError):
         get_model_class("MLP")
+
+
+def test_mdnn_reinit_redraws_weights_keeps_shapes():
+    import jax
+    m = MDNN(input_dim=4, output_dim=2,
+             output_lows=np.zeros(2, np.float32),
+             output_highs=np.ones(2, np.float32), n_gaussians=3,
+             full_covariance=False, hidden_layers=(16,),
+             activation="tanh", lr=1e-3)
+    before = jax.tree_util.tree_map(np.asarray, m.params)
+    m.reinit()
+    after = jax.tree_util.tree_map(np.asarray, m.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a.shape, b.shape),
+        before, after)
+    diffs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), before, after))
+    assert max(diffs) > 1e-4  # weights actually re-drawn

@@ -114,3 +114,28 @@ def test_gae_matches_numpy_reference():
         want[t] = gae
         val_next = vals[t]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ppo_reinit_fresh_policy_same_programs():
+    """reinit re-draws the policy and resets the iteration counter while
+    keeping shapes — the ADR loop's per-iteration RL restart path."""
+    import jax
+    env = _fixed_param_env(num_envs=8, episode_len=20)
+    cfg_train = {"seed": 0, "learn": {"nsteps": 4, "noptepochs": 1,
+                                      "nminibatches": 1,
+                                      "save_interval": 1000},
+                 "policy": {"pi_hid_sizes": [8], "vf_hid_sizes": [8]}}
+    ppo = process_ppo(env, cfg_train, logdir="/tmp/ppo_reinit_test")
+    ppo.run(2, log_interval=100)
+    params_before = jax.tree_util.tree_map(np.asarray,
+                                           ppo.train_state.params)
+    it_before = ppo.current_learning_iteration
+    assert it_before > 0
+    ppo.reinit(seed=7)
+    assert ppo.current_learning_iteration == 0
+    diffs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()),
+        params_before, jax.tree_util.tree_map(np.asarray,
+                                              ppo.train_state.params)))
+    assert max(diffs) > 1e-4
+    ppo.run(1, log_interval=100)  # trains again without error
