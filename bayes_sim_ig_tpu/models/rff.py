@@ -104,8 +104,11 @@ class RFF:
         if cos_only:
             freqs = self.draw_freqs(rff_kernel, self.n_feat, self.d,
                                     quasi_random)
-            self.offset = jnp.asarray(
-                2.0 * np.pi * np.random.rand(1, self.n_feat), dtype)
+            # numpy: inlines as an HLO literal in jitted training scans
+            # (a jax.Array const would stall every scan iteration here).
+            self.offset = np.asarray(
+                2.0 * np.pi * np.random.rand(1, self.n_feat),
+                np.float32 if dtype == jnp.float32 else dtype)
             self.a = float(np.sqrt(1.0 / self.n_feat))
         else:
             assert self.n_feat % 2 == 0
@@ -114,7 +117,9 @@ class RFF:
             self.offset = None
             self.a = float(np.sqrt(1.0 / (self.n_feat / 2)))
         # Pre-divide by the lengthscale: phi uses x @ (freqs/sigma)^T.
-        self.coeff = jnp.asarray((freqs / sigma).T, dtype)  # (d, m)
+        self.coeff = np.asarray(
+            (freqs / sigma).T,
+            np.float32 if dtype == jnp.float32 else dtype)  # (d, m)
 
     @staticmethod
     def draw_freqs(rff_kernel, m, d, quasi_random):

@@ -23,6 +23,8 @@ from .rff_kernel import rff_features, rff_features_reference  # noqa: E402
 from .mog_kernel import (  # noqa: E402
     diag_mixture_logprob, diag_mixture_logprob_reference,
 )
+from .spd_kernel import spd_solve, spd_solve_lanes  # noqa: E402
 
 __all__ = ["use_pallas", "rff_features", "rff_features_reference",
-           "diag_mixture_logprob", "diag_mixture_logprob_reference"]
+           "diag_mixture_logprob", "diag_mixture_logprob_reference",
+           "spd_solve", "spd_solve_lanes"]

@@ -113,6 +113,71 @@ class ArticulatedModel:
         self.dof_names = [l.name for l in self.links
                           if JOINT_DOF[l.joint_type] == 1]
         self.body_names = [l.name for l in self.links]
+        self._build_structure()
+
+    def _build_structure(self):
+        """Static topology tables consumed by the batched (level/ancestor
+        -masked) dynamics in dynamics.py. Everything here is numpy and baked
+        into the trace as constants; none of it depends on q/v/params."""
+        nb, nv = self.nb, self.nv
+        # Tree depth and level partition (links at equal depth have no
+        # dependency between them, so FK propagates one level at a time).
+        depth = np.zeros(nb, np.int64)
+        for i in range(nb):
+            depth[i] = 0 if self.parent[i] < 0 else depth[self.parent[i]] + 1
+        self.depth = depth
+        self.levels = [np.flatnonzero(depth == d).astype(np.int32)
+                       for d in range(int(depth.max()) + 1)]
+        # anc_bb[b, a] = 1 iff a is an ancestor of b or a == b.
+        anc_bb = np.zeros((nb, nb), bool)
+        for b in range(nb):
+            a = b
+            while a >= 0:
+                anc_bb[b, a] = True
+                a = self.parent[a]
+        self.anc_bb = anc_bb
+        # Per-dof tables: the link carrying each dof, and the
+        # ancestor-or-self mask anc_dof[b, m] = anc_bb[b, link(m)].
+        dof_link = np.zeros(nv, np.int32)
+        for i, l in enumerate(self.links):
+            for k in range(JOINT_DOF[l.joint_type]):
+                dof_link[self.v_off[i] + k] = i
+        self.dof_link = dof_link
+        self.anc_dof = anc_bb[:, dof_link].astype(np.float32)
+        # CRBA pair mask: keep (m, n) where M[m, n] = S_m^T IC_{link(m)} S_n
+        # is the "deeper uses its composite inertia" entry — link(n) is a
+        # strict ancestor of link(m), or same link with m >= n (the lower
+        # triangle of a multi-dof joint's own block, diagonal included).
+        lm, ln = dof_link[:, None], dof_link[None, :]
+        strict_anc = anc_bb[lm, ln] & (depth[lm] > depth[ln])
+        same = (lm == ln) & (np.arange(nv)[:, None] >= np.arange(nv)[None])
+        self.crba_mask = (strict_anc | same).astype(np.float32)
+        # 1-dof joint tables (gather/scatter indices for the batched FK,
+        # integrate and limit clamps).
+        j1 = [i for i in range(nb)
+              if self.joint_types[i] in ("revolute", "prismatic")]
+        self.j1_links = np.asarray(j1, np.int32)
+        self.j1_q = np.asarray([self.q_off[i] for i in j1], np.int32)
+        self.j1_v = np.asarray([self.v_off[i] for i in j1], np.int32)
+        self.j1_axis = self.joint_axis[j1].astype(np.float32) \
+            if j1 else np.zeros((0, 3), np.float32)
+        self.j1_rev = np.asarray(
+            [1.0 if self.joint_types[i] == "revolute" else 0.0
+             for i in j1], np.float32)
+        self.j1_maxv = self.max_velocity[self.j1_v].astype(np.float32) \
+            if j1 else np.zeros(0, np.float32)
+        self.j1_lo = self.limit_lower[self.j1_v].astype(np.float32) \
+            if j1 else np.zeros(0, np.float32)
+        self.j1_hi = self.limit_upper[self.j1_v].astype(np.float32) \
+            if j1 else np.zeros(0, np.float32)
+        self.free_list = [(i, self.q_off[i], self.v_off[i])
+                          for i in range(nb)
+                          if self.joint_types[i] == "free"]
+        # E_t^T per link (child->parent rotation at q = 0).
+        self.joint_rot_T = np.ascontiguousarray(
+            self.joint_rot.transpose(0, 2, 1)).astype(np.float32)
+        self.parent_pad = np.asarray(
+            [p if p >= 0 else nb for p in self.parent], np.int32)
 
     def neutral_q(self) -> np.ndarray:
         """q with identity free-joint quaternions and zero joint angles."""

@@ -29,31 +29,39 @@ def hat(v):
 # Quaternions (w, x, y, z)
 # ----------------------------------------------------------------------- #
 def quat_to_rot(q):
-    """Unit quaternion -> rotation matrix (maps body coords to world)."""
-    w, x, y, z = q[0], q[1], q[2], q[3]
-    return jnp.array([
-        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-    ])
+    """Unit quaternion (..., 4) -> rotation matrix (..., 3, 3) (maps body
+    coords to world). Works on single quaternions and batches alike."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    rows = [
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], -1),
+    ]
+    return jnp.stack(rows, -2)
 
 
 def quat_mul(a, b):
-    aw, ax, ay, az = a[0], a[1], a[2], a[3]
-    bw, bx, by, bz = b[0], b[1], b[2], b[3]
-    return jnp.array([
+    """Hamilton product; broadcasts over leading dims of (..., 4) inputs."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
         aw * bw - ax * bx - ay * by - az * bz,
         aw * bx + ax * bw + ay * bz - az * by,
         aw * by - ax * bz + ay * bw + az * bx,
         aw * bz + ax * by - ay * bx + az * bw,
-    ])
+    ], -1)
 
 
 def quat_integrate(q, omega_world, dt):
     """Integrates a unit quaternion by a world-frame angular velocity."""
-    dq = 0.5 * quat_mul(jnp.concatenate([jnp.zeros(1), omega_world]), q)
+    omega4 = jnp.concatenate(
+        [jnp.zeros_like(omega_world[..., :1]), omega_world], -1)
+    dq = 0.5 * quat_mul(omega4, q)
     q = q + dt * dq
-    return q / (jnp.linalg.norm(q) + 1e-12)
+    return q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
 
 
 def quat_rotate(q, v):

@@ -144,6 +144,10 @@ class Ant(Task):
             "dof_properties", "stiffness")
         self._damp_dims = self.params_spec.indices_of(
             "dof_properties", "damping")
+        # Whole-actor geometry scale (reference apply_randomizations.py:
+        # 174-189 applies 'scale' to any actor; the engine scales link
+        # offsets, COMs, inertias and contact geometry with it).
+        self._scale_dims = self.params_spec.indices_of("scale", "")
         self.setup_noise(cfg["task"]["randomization_params"])
         # Actuated dof indices in the v-layout (after the 6 free dofs).
         self._act_v_idx = np.array(
@@ -170,8 +174,12 @@ class Ant(Task):
             damping = base.damping.at[jnp.asarray(self._act_v_idx)].add(
                 params_row[jnp.asarray(self._damp_dims)])
         inertia = base.inertia * (mass / base.mass)[:, None]
+        scale = base.scale
+        if self._scale_dims:
+            scale = params_row[self._scale_dims[0]]
         return base._replace(mass=mass, inertia=inertia,
-                             stiffness=stiffness, damping=damping)
+                             stiffness=stiffness, damping=damping,
+                             scale=scale)
 
     def init_state(self, key, params):
         n = params.shape[0]
@@ -187,10 +195,13 @@ class Ant(Task):
                                maxval=0.05)
         return AntState(q=q, v=v)
 
-    def _single_step(self, q, v, actions, params_row, key):
+    def physics_step(self, state, actions, params, key):
+        # The engine is natively batched (dynamics.py): the whole env batch
+        # steps as one set of tensor contractions — no vmap.
         m = self.model
-        dp = self._dyn_params(params_row)
-        tau_act = jnp.zeros(m.nv).at[jnp.asarray(self._act_v_idx)].set(
+        dp = jax.vmap(self._dyn_params)(params)
+        tau_act = jnp.zeros((actions.shape[0], m.nv)).at[
+            :, jnp.asarray(self._act_v_idx)].set(
             jnp.clip(actions, -1, 1) * 30.0 * self.power_scale)
         h = self.dt / self.substeps
 
@@ -198,20 +209,16 @@ class Ant(Task):
             q, v = carry
             kin = forward_kinematics(m, q, v, dp)
             f_ext = ground_contact_forces(m, kin, dp, dt=h)
-            qdd, _ = forward_dynamics(m, q, v, tau_act, dp, f_ext, dt=h)
+            qdd, _ = forward_dynamics(m, q, v, tau_act, dp, f_ext, dt=h,
+                                      kin=kin)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v), None
 
         # lax.scan keeps one physics graph regardless of substep count
         # (halves XLA compile time vs an unrolled python loop).
-        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
                                  length=self.substeps)
-        return q, v
-
-    def physics_step(self, state, actions, params, key):
-        q, v = jax.vmap(self._single_step, in_axes=(0, 0, 0, 0, None))(
-            state.q, state.v, actions, params, key)
         return AntState(q=q, v=v)
 
     def observe(self, state, params):

@@ -154,33 +154,32 @@ class Anymal(Task):
         return AnymalState(q=q, v=v, commands=commands,
                            prev_actions=jnp.zeros((n, 12)))
 
-    def _single_step(self, q, v, actions, params_row, key):
+    def physics_step(self, state, actions, params, key):
+        # Natively batched engine call (dynamics.py) — no vmap.
         m = self.model
-        dp = self._dyn_params(params_row)
+        dp = jax.vmap(self._dyn_params)(params)
         h = self.dt / self.substeps
         targets = (jnp.asarray(self._default_dof)
                    + jnp.clip(actions, -1, 1) * self.action_scale)
         act_v = jnp.asarray(self._act_v_idx)
         act_q = jnp.asarray(self._act_q_idx)
+        n = actions.shape[0]
+
         def substep(carry, _):
             q, v = carry
-            tau = jnp.zeros(m.nv).at[act_v].set(
-                jnp.clip(self.kp * (targets - q[act_q])
-                         - self.kd * v[act_v], -80.0, 80.0))
+            tau = jnp.zeros((n, m.nv)).at[:, act_v].set(
+                jnp.clip(self.kp * (targets - q[:, act_q])
+                         - self.kd * v[:, act_v], -80.0, 80.0))
             kin = forward_kinematics(m, q, v, dp)
             f_ext = ground_contact_forces(m, kin, dp, dt=h)
-            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
+            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h,
+                                      kin=kin)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v), None
 
-        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
                                  length=self.substeps)
-        return q, v
-
-    def physics_step(self, state, actions, params, key):
-        q, v = jax.vmap(self._single_step, in_axes=(0, 0, 0, 0, None))(
-            state.q, state.v, actions, params, key)
         return AnymalState(q=q, v=v, commands=state.commands,
                            prev_actions=jnp.clip(actions, -1, 1))
 

@@ -172,15 +172,17 @@ class BallBalance(Task):
         v = v.at[:, bv + 3:bv + 5].set(ball_v)
         return BBotState(q=q, v=v)
 
-    def _single_step(self, q, v, actions, params_row, key):
+    def physics_step(self, state, actions, params, key):
+        # Natively batched engine call (dynamics.py) — no vmap.
         m = self.model
-        dp = self._dyn_params(params_row)
+        dp = jax.vmap(self._dyn_params)(params)
         h = self.dt / self.substeps
         # Actions drive the three lower-leg joints.
         lower_v = jnp.asarray([self._leg_v_idx[2 * i + 1]
                                for i in range(3)])
-        tau = jnp.zeros(m.nv).at[lower_v].set(
+        tau = jnp.zeros((actions.shape[0], m.nv)).at[:, lower_v].set(
             jnp.clip(actions, -1, 1) * 20.0)
+
         def substep(carry, _):
             q, v = carry
             kin = forward_kinematics(m, q, v, dp)
@@ -191,18 +193,14 @@ class BallBalance(Task):
                 plane_link=0, plane_point=(0, 0, 0.02),
                 plane_normal=(0, 0, 1), mu=1.0, dt=h,
                 plane_halfsize=TRAY_R)
-            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
+            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h,
+                                      kin=kin)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v), None
 
-        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
                                  length=self.substeps)
-        return q, v
-
-    def physics_step(self, state, actions, params, key):
-        q, v = jax.vmap(self._single_step, in_axes=(0, 0, 0, 0, None))(
-            state.q, state.v, actions, params, key)
         return BBotState(q=q, v=v)
 
     def _ball_rel(self, state):

@@ -80,6 +80,9 @@ class Cartpole(Task):
         self._pole_mass_dim = s.index_of("pole_mass")
         self._stiff_dims = s.indices_of("dof_properties", "stiffness")
         self._damp_dims = s.indices_of("dof_properties", "damping")
+        # Whole-actor 'scale' DR (apply_randomizations.py:174-189): for the
+        # analytic cart-pole the geometry scale multiplies the pole length.
+        self._scale_dims = s.indices_of("scale", "")
         self.setup_noise(cfg["task"]["randomization_params"])
 
     # ------------------------------------------------------------------ #
@@ -108,6 +111,8 @@ class Cartpole(Task):
         force = jnp.clip(actions[:, 0], -1.0, 1.0) * self.max_effort
         cart_m, pole_m, k_c, k_p, b_c, b_p = self._dyn_params(params)
         g, l = self.gravity, self.pole_half_len
+        if self._scale_dims:
+            l = l * params[:, self._scale_dims[0]]
         total_m = cart_m + pole_m
         h = self.dt / self.substeps
         x, x_dot, th, th_dot = state

@@ -86,34 +86,32 @@ class _FlyerBase(Task):
         """(n_dofs,) PD position targets, or None."""
         return None
 
-    def _single_step(self, q, v, actions, params_row, key):
+    def physics_step(self, state, actions, params, key):
+        # Natively batched engine call (dynamics.py); only the small
+        # task-specific thrust computation stays per-env under vmap.
         m = self.model
-        dp = self._make_dyn_params(params_row)
+        dp = jax.vmap(self._make_dyn_params)(params)
         h = self.dt / self.substeps
         targets = self._joint_targets(actions)
+        dof_idx = jnp.asarray(self._dof_v_idx)
+        qoffs = jnp.asarray([m.q_off[i] for i in self._dof_links])
+        thrust = jax.vmap(self._thrust_forces)
 
         def substep(carry, _):
             q, v = carry
-            f_ext = self._thrust_forces(q, actions, params_row)
-            tau = jnp.zeros(m.nv)
+            f_ext = thrust(q, actions, params)
+            tau = jnp.zeros((q.shape[0], m.nv))
             if targets is not None:
-                dof_idx = jnp.asarray(self._dof_v_idx)
-                q_dof = jnp.array([q[m.q_off[i]] for i in self._dof_links])
-                tau = tau.at[dof_idx].set(
-                    self.kp * (targets - q_dof)
-                    - self.kd * v[dof_idx])
+                tau = tau.at[:, dof_idx].set(
+                    self.kp * (targets - q[:, qoffs])
+                    - self.kd * v[:, dof_idx])
             qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v), None
 
-        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
                                  length=self.substeps)
-        return q, v
-
-    def physics_step(self, state, actions, params, key):
-        q, v = jax.vmap(self._single_step, in_axes=(0, 0, 0, 0, None))(
-            state.q, state.v, actions, params, key)
         return FlyerState(q=q, v=v)
 
     def _kinematics_obs(self, state):
@@ -288,7 +286,7 @@ class Quadcopter(_FlyerBase):
     def _joint_targets(self, actions):
         # First 8 actions: PD targets for all 8 dofs (arm tilts get the
         # targets; rotor spins get 0 targets with tiny gains via damping).
-        a = jnp.clip(actions[:8], -1.0, 1.0)
+        a = jnp.clip(actions[..., :8], -1.0, 1.0)
         return a * 0.52
 
     def _thrust_forces(self, q, actions, params_row):

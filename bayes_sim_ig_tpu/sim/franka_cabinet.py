@@ -135,10 +135,12 @@ class FrankaCabinet(Task):
         self._hand = m.link_index["panda_link7"]
         self._lf = m.link_index["panda_leftfinger"]
         self._rf = m.link_index["panda_rightfinger"]
-        self._limits_lo = jnp.asarray(
-            [m.limit_lower[v] for v in self._dof_v], jnp.float32)
-        self._limits_hi = jnp.asarray(
-            [m.limit_upper[v] for v in self._dof_v], jnp.float32)
+        # numpy (not jnp): closure constants must inline as HLO literals
+        # (jax.Array consts stall while-loop iterations on this runtime).
+        self._limits_lo = np.asarray(
+            [m.limit_lower[v] for v in self._dof_v], np.float32)
+        self._limits_hi = np.asarray(
+            [m.limit_upper[v] for v in self._dof_v], np.float32)
         self.params_spec = build_params_spec(
             cfg["task"]["randomization_params"],
             actor_names_map={"franka": TaskNames(
@@ -191,26 +193,29 @@ class FrankaCabinet(Task):
                                             (n, 1)))
 
     def _handle_world(self, kin):
-        return kin.p_w[self._drawer] + kin.R_w[self._drawer] @ \
-            jnp.asarray(DRAWER_HANDLE_LOCAL, jnp.float32)
+        return kin.p_w[..., self._drawer, :] + jnp.einsum(
+            "...ij,j->...i", kin.R_w[..., self._drawer, :, :],
+            jnp.asarray(DRAWER_HANDLE_LOCAL, jnp.float32))
 
-    def _single_step(self, q, v, targets, actions, params_row, key):
+    def physics_step(self, state, actions, params, key):
+        # Natively batched engine call (dynamics.py) — no vmap.
         m = self.model
-        dp = self._dyn_params(params_row)
-        kp, kd = self._pd_gains(params_row)
+        dp = jax.vmap(self._dyn_params)(params)
+        kp, kd = jax.vmap(self._pd_gains)(params)
         h = self.dt / self.substeps
         targets = jnp.clip(
-            targets + jnp.clip(actions, -1, 1) * self.action_scale
+            state.targets + jnp.clip(actions, -1, 1) * self.action_scale
             * self.dt, self._limits_lo, self._limits_hi)
         dof_v = jnp.asarray(self._dof_v)
         dof_q = jnp.asarray(self._dof_q)
+
         def substep(carry, _):
             q, v = carry
-            tau = jnp.zeros(m.nv).at[dof_v].set(
-                jnp.clip(kp * (targets - q[dof_q]) - kd * v[dof_v],
+            tau = jnp.zeros((q.shape[0], m.nv)).at[:, dof_v].set(
+                jnp.clip(kp * (targets - q[:, dof_q]) - kd * v[:, dof_v],
                          -87.0, 87.0))
             kin = forward_kinematics(m, q, v, dp)
-            f_ext = jnp.zeros((m.nb, 6))
+            f_ext = jnp.zeros(kin.p_w.shape[:-1] + (6,))
             # Finger pads gripping the drawer handle: handle sphere vs
             # inward-facing finger planes.
             for link, sy in ((self._lf, -1.0), (self._rf, 1.0)):
@@ -221,29 +226,25 @@ class FrankaCabinet(Task):
                     plane_point=(0.0, sy * 0.008, 0.045),
                     plane_normal=(0.0, sy, 0.0), mu=1.5, dt=h,
                     plane_halfsize=0.025)
-            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
+            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h,
+                                      kin=kin)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v), None
 
-        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
                                  length=self.substeps)
-        return q, v, targets
-
-    def physics_step(self, state, actions, params, key):
-        q, v, targets = jax.vmap(
-            self._single_step, in_axes=(0, 0, 0, 0, 0, None))(
-            state.q, state.v, state.targets, actions, params, key)
         return FrankaState(q=q, v=v, targets=targets)
 
     def _hand_to_handle(self, state):
-        def single(q, v):
-            dp = DynParams.defaults(self.model)
-            kin = forward_kinematics(self.model, q, v, dp)
-            hand = kin.p_w[self._hand] + kin.R_w[self._hand] @ \
-                jnp.array([0.0, 0.0, 0.16])
-            return self._handle_world(kin) - hand
-        return jax.vmap(single)(state.q, state.v)
+        # FK only reads params.scale, so the default (unbatched) DynParams
+        # broadcast over the batched q/v.
+        kin = forward_kinematics(self.model, state.q, state.v,
+                                 DynParams.defaults(self.model))
+        hand = kin.p_w[:, self._hand] + jnp.einsum(
+            "nij,j->ni", kin.R_w[:, self._hand],
+            jnp.array([0.0, 0.0, 0.16]))
+        return self._handle_world(kin) - hand
 
     def observe(self, state, params):
         dof_q = jnp.asarray(self._dof_q)

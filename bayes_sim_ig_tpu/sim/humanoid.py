@@ -252,29 +252,28 @@ class Humanoid(Task):
         v = jax.random.uniform(k2, (n, m.nv), minval=-0.05, maxval=0.05)
         return HumanoidState(q=q, v=v)
 
-    def _single_step(self, q, v, actions, params_row, key):
+    def physics_step(self, state, actions, params, key):
+        # Natively batched engine call (dynamics.py) — no vmap.
         m = self.model
-        dp = self._dyn_params(params_row)
+        dp = jax.vmap(self._dyn_params)(params)
         h = self.dt / self.substeps
-        tau = jnp.zeros(m.nv).at[jnp.asarray(self._act_v_idx)].set(
+        tau = jnp.zeros((actions.shape[0], m.nv)).at[
+            :, jnp.asarray(self._act_v_idx)].set(
             jnp.clip(actions, -1, 1) * jnp.asarray(self._gears)
             * self.power_scale)
+
         def substep(carry, _):
             q, v = carry
             kin = forward_kinematics(m, q, v, dp)
             f_ext = ground_contact_forces(m, kin, dp, dt=h)
-            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
+            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h,
+                                      kin=kin)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v), None
 
-        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
                                  length=self.substeps)
-        return q, v
-
-    def physics_step(self, state, actions, params, key):
-        q, v = jax.vmap(self._single_step, in_axes=(0, 0, 0, 0, None))(
-            state.q, state.v, actions, params, key)
         return HumanoidState(q=q, v=v)
 
     def observe(self, state, params):

@@ -237,10 +237,16 @@ class ShadowHand(Task):
         self._dof_v = np.array([m.v_off[i] for i in self._hand_dof_links])
         self._act_q = np.array([m.q_off[i] for i in self._actuated_links])
         self._act_v = np.array([m.v_off[i] for i in self._actuated_links])
-        self._act_lo = jnp.asarray([m.limit_lower[m.v_off[i]]
-                                    for i in self._actuated_links])
-        self._act_hi = jnp.asarray([m.limit_upper[m.v_off[i]]
-                                    for i in self._actuated_links])
+        # numpy (not jnp): stored arrays reach jitted rollout bodies as
+        # closure constants; numpy inlines as HLO literals while jax.Array
+        # buffer constants stall while-loops on this runtime (~0.45 ms/iter
+        # each, measured — see ops/spd_kernel.py docstring context).
+        self._act_lo = np.asarray([m.limit_lower[m.v_off[i]]
+                                   for i in self._actuated_links],
+                                  np.float32)
+        self._act_hi = np.asarray([m.limit_upper[m.v_off[i]]
+                                   for i in self._actuated_links],
+                                  np.float32)
         # DR spec: hand tendons + hand masses, then object scale + mass.
         hand_mass = np.array([m.mass0[name_map[b]] for b in HAND_BODIES])
         self.params_spec = build_params_spec(
@@ -374,48 +380,52 @@ class ShadowHand(Task):
                          prev_actions=jnp.zeros((n, 20)),
                          gravity_dz=gravity_dz)
 
-    def _single_step(self, q, v, actions, params_row, gravity_dz, key):
+    def physics_step(self, state, actions, params, key):
+        # Natively batched engine call (dynamics.py) — no vmap around the
+        # physics; only per-env param unpacking is vmapped.
         m = self.model
-        dp = self._dyn_params(params_row, gravity_dz)
+        dp = jax.vmap(self._dyn_params)(params, state.gravity_dz)
         h = self.dt / self.substeps
         a = jnp.clip(actions, -1.0, 1.0)
         targets = self._act_lo + (a + 1.0) * 0.5 * (self._act_hi
                                                     - self._act_lo)
         act_q, act_v = jnp.asarray(self._act_q), jnp.asarray(self._act_v)
-        s = params_row[self._scale_dim]
-        tendon_k = 50.0 + params_row[jnp.asarray(self._tendon_dims)]
-        tendon_d = jnp.ones(4)
+        s = params[:, self._scale_dim]                       # (N,)
+        tendon_k = 50.0 + params[:, jnp.asarray(self._tendon_dims)]
+        tendon_d = jnp.ones_like(tendon_k)
         if self._tendon_damp_dims:
-            tendon_d = params_row[jnp.asarray(self._tendon_damp_dims)]
+            tendon_d = params[:, jnp.asarray(self._tendon_damp_dims)]
         kp = jnp.full(20, 2.0)
         kd = 0.1
         if self._dof_stiff_dims:  # shadow_hand_more: drive-gain scaling
-            stiff_mult = params_row[jnp.asarray(self._dof_stiff_dims)]
+            stiff_mult = params[:, jnp.asarray(self._dof_stiff_dims)]
             act_pos = [self._hand_dof_links.index(i)
                        for i in self._actuated_links]
-            kp = kp * stiff_mult[jnp.asarray(act_pos)]
-        tip_mu, obj_mu = self._contact_frictions(params_row)
+            kp = kp * stiff_mult[:, jnp.asarray(act_pos)]
+        tip_mu, obj_mu = jax.vmap(self._contact_frictions)(params)
+
         def substep(carry, _):
             q, v = carry
-            tau = jnp.zeros(m.nv).at[act_v].set(
-                jnp.clip(kp * (targets - q[act_q]) - kd * v[act_v],
+            tau = jnp.zeros((q.shape[0], m.nv)).at[:, act_v].set(
+                jnp.clip(kp * (targets - q[:, act_q]) - kd * v[:, act_v],
                          -3.0, 3.0))
             # Tendon coupling: spring-damper pulling q_J1 toward q_J0.
             for t_i, (j1, j0) in enumerate(self._tendon_pairs):
                 v1, v0 = m.v_off[j1], m.v_off[j0]
                 q1, q0_ = m.q_off[j1], m.q_off[j0]
-                delta = q[q1] - q[q0_]
-                ddot = v[v1] - v[v0]
-                f_t = (tendon_k[t_i] * 0.01 * delta
-                       + tendon_d[t_i] * 0.002 * ddot)
-                tau = tau.at[v1].add(-f_t)
-                tau = tau.at[v0].add(f_t)
+                delta = q[:, q1] - q[:, q0_]
+                ddot = v[:, v1] - v[:, v0]
+                f_t = (tendon_k[:, t_i] * 0.01 * delta
+                       + tendon_d[:, t_i] * 0.002 * ddot)
+                tau = tau.at[:, v1].add(-f_t)
+                tau = tau.at[:, v0].add(f_t)
             kin = forward_kinematics(m, q, v, dp)
-            f_ext = jnp.zeros((m.nb, 6))
+            f_ext = jnp.zeros(kin.p_w.shape[:-1] + (6,))
             # Cube corners vs palm top plane (corner offsets scale with
             # the randomized object scale, passed as traced arrays).
             for corner in _CORNERS:
-                off = jnp.asarray(corner, jnp.float32) * CUBE_HALF * s
+                off = jnp.asarray(corner, jnp.float32) \
+                    * CUBE_HALF * s[:, None]
                 f_ext = f_ext + sphere_plane_pair_forces(
                     m, kin, dp, sphere_link=self._cube,
                     sphere_offset=off, radius=0.002,
@@ -426,30 +436,25 @@ class ShadowHand(Task):
             # and object shape frictions).
             for tip_i, tip in enumerate(self._fingertips):
                 tip_geom = next(g for g in m.geoms if g.link == tip)
-                mu = tip_mu[tip_i] * obj_mu
+                mu = tip_mu[:, tip_i] * obj_mu
                 for normal, pt in _FACES:
                     f_tip = sphere_plane_pair_forces(
                         m, kin, dp, sphere_link=tip,
                         sphere_offset=tip_geom.offset,
                         radius=tip_geom.size[0], plane_link=self._cube,
                         plane_point=jnp.asarray(pt, jnp.float32)
-                        * CUBE_HALF * s,
+                        * CUBE_HALF * s[:, None],
                         plane_normal=normal, mu=mu, dt=h,
                         plane_halfsize=CUBE_HALF * s)
                     f_ext = f_ext + f_tip
-            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
+            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h,
+                                      kin=kin)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v), None
 
-        (q, v), _ = jax.lax.scan(substep, (q, v), None,
+        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
                                  length=self.substeps)
-        return q, v
-
-    def physics_step(self, state, actions, params, key):
-        q, v = jax.vmap(self._single_step,
-                        in_axes=(0, 0, 0, 0, 0, None))(
-            state.q, state.v, actions, params, state.gravity_dz, key)
         return HandState(q=q, v=v, goal_quat=state.goal_quat,
                          prev_actions=jnp.clip(actions, -1, 1),
                          gravity_dz=state.gravity_dz)

@@ -24,9 +24,16 @@ by construction.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 MAX_SIGNATURE_OUTPUT_DIM = 110 ** 2  # reference summarizers.py:137
+
+# Large batches are processed in fixed-size chunks (lax.map keeps ONE
+# compiled body): the depth-3 path materializes a (chunk, T, d, d)
+# prefix-sum intermediate, ~1 GB-class at the reference's 10k x 50-step,
+# d~22 scale if unchunked (the reference chunks too, summarizers.py:157-168).
+SIGNATURE_CHUNK = 1024
 
 
 def signature_depth(ndim: int) -> int:
@@ -38,13 +45,16 @@ def signature_depth(ndim: int) -> int:
     return 1
 
 
-def path_signature(paths: jnp.ndarray, depth: int) -> jnp.ndarray:
+def path_signature(paths: jnp.ndarray, depth: int,
+                   chunk_size: int = SIGNATURE_CHUNK) -> jnp.ndarray:
     """Computes truncated signatures for a batch of paths.
 
     Parameters
     ----------
     paths : (batch, path_len, d) array
     depth : truncation depth in {1, 2, 3}
+    chunk_size : batches larger than this are processed in equal chunks
+        under ``lax.map`` to bound the (chunk, T, d, d) peak memory.
 
     Returns
     -------
@@ -53,6 +63,20 @@ def path_signature(paths: jnp.ndarray, depth: int) -> jnp.ndarray:
     """
     assert paths.ndim == 3, "paths should be batch x time x channels"
     assert depth in (1, 2, 3), f"depth must be 1, 2 or 3, got {depth}"
+    bsz = paths.shape[0]
+    if bsz > chunk_size:
+        n_chunks = -(-bsz // chunk_size)
+        pad = n_chunks * chunk_size - bsz
+        padded = paths if pad == 0 else jnp.concatenate(
+            [paths, jnp.zeros((pad,) + paths.shape[1:], paths.dtype)])
+        chunks = padded.reshape((n_chunks, chunk_size) + paths.shape[1:])
+        sigs = jax.lax.map(
+            lambda p: _signature_impl(p, depth), chunks)
+        return sigs.reshape(n_chunks * chunk_size, -1)[:bsz]
+    return _signature_impl(paths, depth)
+
+
+def _signature_impl(paths: jnp.ndarray, depth: int) -> jnp.ndarray:
     dx = paths[:, 1:] - paths[:, :-1]  # (B, T, d) increments
     bsz, _, d = dx.shape
 

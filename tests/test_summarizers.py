@@ -127,6 +127,18 @@ def _signature_oracle(path, depth):
 
 
 class TestSignature:
+    def test_chunked_equals_unchunked(self):
+        # Batches above the chunk size stream through lax.map in equal
+        # chunks (bounding the (chunk, T, d, d) depth-3 peak memory, as the
+        # reference does at summarizers.py:157-168); output must be
+        # identical, including the non-divisible-tail case.
+        paths = _rand((37, 9, 4), seed=3)
+        full = path_signature(paths, 3)
+        chunked = path_signature(paths, 3, chunk_size=8)
+        # fp32 reassociation across the lax.map boundary: tiny abs noise.
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_depth_selection(self):
         assert signature_depth(4) == 3
         assert signature_depth(22) == 3    # 22^3 = 10648 <= 12100

@@ -81,6 +81,39 @@ def test_flat_sample_consumed_fully(task_name):
         f"{set(range(t.params_spec.dim)) - bound}"
 
 
+@pytest.mark.parametrize("task_name", ["Cartpole", "Ant"])
+def test_whole_actor_scale_dr(task_name):
+    # Reference apply_randomizations.py:174-189 applies 'scale' DR to any
+    # actor. Adding a scale subtree to a task config must produce a spec
+    # dim bound to the geometry scale, and stepping at both corners of a
+    # wide scale range must stay finite (VERDICT round-1 item 5).
+    cfg = load_cfg(task_name, num_envs=2)
+    actor = next(iter(
+        cfg["task"]["randomization_params"]["actor_params"]))
+    cfg["task"]["randomization_params"]["actor_params"][actor]["scale"] = {
+        "range": [0.5, 1.5], "operation": "scaling",
+        "distribution": "uniform"}
+    env = make_env(task_name, cfg)
+    spec = env.task.params_spec
+    assert env.task._scale_dims, "scale dim not bound"
+    scale_dim = env.task._scale_dims[0]
+    assert spec.names[scale_dim] == f"{actor}_scale_mult"
+    for corner in (spec.lows, spec.highs):
+        from bayes_sim_ig_tpu.distributions import MoG
+        mog = MoG(a=[1.0], ms=[np.asarray(corner, np.float64)],
+                  Ss=[np.eye(spec.dim) * 1e-12])
+        env.set_distr(to_device_distr(mog, spec.lows, spec.highs))
+        env.reset()
+        rs = np.random.RandomState(2)
+        for t in range(20):
+            act = jnp.asarray(rs.uniform(-1, 1, (2, env.task.act_dim)),
+                              jnp.float32)
+            obs, rew, done, _ = env.step(act)
+            assert np.isfinite(np.asarray(obs)).all(), (task_name, t)
+        assert float(jnp.abs(env.state.params[:, scale_dim] -
+                             corner[scale_dim]).max()) < 1e-5
+
+
 @pytest.mark.parametrize("task_name", ALL_TASKS)
 def test_corner_params_stay_finite(task_name):
     # The worst DR corner (all lows: ultra-light links, weakest gains) is
