@@ -8,11 +8,12 @@ smooth Coulomb-capped tangential friction force. Forces are accumulated as
 world-frame spatial forces about each link origin and fed to RNEA as
 external forces.
 
-Pure functions of (kinematics, params), batched over the leading env axis
-like the rest of the engine (single-env inputs also work — everything uses
-ellipsis dims); fully vectorized over contact points; differentiable. The
-per-point wrench accumulation is a static one-hot (nb, P) matmul rather
-than a scatter, which keeps it on the MXU and out of scatter lowering.
+ENV-LAST layout like the rest of the engine (dynamics.py module
+docstring): all per-point tensors are (P, 3, N) with the env batch on the
+vector lanes; the per-point wrench accumulation is a static one-hot
+(nb, P) fold-matmul rather than a scatter. Single-env calls (squeezed
+Kinematics) work too and return (nb, 6). Pure, vectorized over contact
+points, differentiable.
 """
 
 from __future__ import annotations
@@ -21,9 +22,12 @@ from typing import List, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .model import ArticulatedModel, DynParams
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def contact_points(model: ArticulatedModel) -> Tuple[np.ndarray, np.ndarray,
@@ -72,85 +76,221 @@ def contact_points(model: ArticulatedModel) -> Tuple[np.ndarray, np.ndarray,
             np.asarray(radii), np.asarray(geom_ids, np.int32))
 
 
-def _point_scatter(model: ArticulatedModel, links) -> np.ndarray:
-    """(nb, P) one-hot accumulation matrix: wrench sums become a matmul."""
-    mat = np.zeros((model.nb, len(links)), np.float32)
-    mat[links, np.arange(len(links))] = 1.0
-    return mat
+def _fold(mat, x):
+    """(r, s) static mask x (s, .., N) -> (r, .., N) as one 2D matmul."""
+    shape = x.shape
+    out = jnp.matmul(jnp.asarray(mat, x.dtype), x.reshape(shape[0], -1),
+                     precision=_HI)
+    return out.reshape((mat.shape[0],) + shape[1:])
+
+
+def _mv(A, x):
+    """(.., 3, 3, N) x (.., 3, N) -> (.., 3, N) unrolled."""
+    return jnp.stack([sum(A[..., i, k, :] * x[..., k, :]
+                          for k in range(3)) for i in range(3)], -2)
+
+
+def _mvT(A, x):
+    return jnp.stack([sum(A[..., k, i, :] * x[..., k, :]
+                          for k in range(3)) for i in range(3)], -2)
+
+
+def _cross(a, b):
+    a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+    b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+    return jnp.stack([a1 * b2 - a2 * b1,
+                      a2 * b0 - a0 * b2,
+                      a0 * b1 - a1 * b0], -2)
+
+
+def _rows(x):
+    """Normalizes a per-env 3-vector argument to (3, N): accepts (3,),
+    (N, 3) env-first, or (3, N) already-env-last arrays."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 1:
+        return x[:, None]
+    return x.T if x.shape[-1] == 3 and x.shape[0] != 3 else x
 
 
 def sphere_plane_pair_forces(model: ArticulatedModel, kin,
                              params: DynParams, sphere_link: int,
                              sphere_offset, radius: float,
                              plane_link: int, plane_point, plane_normal,
-                             mu: float = 1.0, dt=1.0 / 60.0, tau=0.02,
+                             mu=1.0, dt=1.0 / 60.0, tau=0.02,
                              zeta=1.0, plane_halfsize=None):
     """Contact between a sphere on one body and a plane patch attached to
     another body (e.g. a ball on a tilting tray). Same mass-adaptive
     penalty model as the ground contacts; equal and opposite world-frame
-    spatial forces are returned as a (..., nb, 6) array.
+    spatial forces are returned env-last as (nb, 6, N) (or (nb, 6) for
+    single-env kinematics).
 
     ``plane_point``/``plane_normal`` are in the plane body's frame;
-    ``plane_halfsize`` optionally deactivates the contact when the sphere
-    center leaves a square patch of that half-extent around plane_point.
-    """
-    scale = params.scale[..., None]
-    sphere_offset = jnp.asarray(sphere_offset, jnp.float32) * scale
-    plane_point = jnp.asarray(plane_point, jnp.float32) * scale
-    plane_normal = jnp.asarray(plane_normal, jnp.float32)
+    ``sphere_offset``/``plane_point`` accept static 3-vectors or per-env
+    (N, 3) arrays; ``plane_halfsize`` optionally deactivates the contact
+    when the sphere center leaves a square patch of that half-extent
+    around plane_point."""
+    single = kin.p_w.ndim == 2
+    if single:
+        kin = jax.tree_util.tree_map(lambda a: a[..., None], kin)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], params)
+    n = kin.p_w.shape[-1]
+    scale = jnp.broadcast_to(jnp.asarray(params.scale), (n,))  # (N,)
+    off_s = _rows(sphere_offset) * scale[None]                 # (3, N)
+    pp = _rows(plane_point) * scale[None]
+    nrm = _rows(plane_normal)
 
-    def mv(R, x):
-        return jnp.einsum("...ij,...j->...i", R, x)
-
-    R_s, p_s = kin.R_w[..., sphere_link, :, :], kin.p_w[..., sphere_link, :]
-    R_p, p_p = kin.R_w[..., plane_link, :, :], kin.p_w[..., plane_link, :]
-    center = p_s + mv(R_s, sphere_offset)
-    n_w = mv(R_p, jnp.broadcast_to(plane_normal, center.shape))
-    pp_w = p_p + mv(R_p, plane_point)
-    dist = jnp.sum((center - pp_w) * n_w, -1)
-    r_scaled = radius * params.scale
+    R_s, p_s = kin.R_w[sphere_link], kin.p_w[sphere_link]      # (3,3,N)/(3,N)
+    R_p, p_p = kin.R_w[plane_link], kin.p_w[plane_link]
+    center = p_s + _mv(R_s, off_s)
+    n_w = _mv(R_p, jnp.broadcast_to(nrm, (3, n)))
+    pp_w = p_p + _mv(R_p, jnp.broadcast_to(pp, (3, n)))
+    dist = jnp.sum((center - pp_w) * n_w, 0)                   # (N,)
+    r_scaled = radius * scale
     depth = r_scaled - dist
-    contact_pt = center - n_w * r_scaled[..., None]
+    contact_pt = center - n_w * r_scaled[None]
 
     def point_vel(link, pt):
-        R = kin.R_w[..., link, :, :]
-        w = mv(R, kin.v[..., link, :3])
-        vl = mv(R, kin.v[..., link, 3:])
-        return vl + jnp.cross(w, pt - kin.p_w[..., link, :])
+        R = kin.R_w[link]
+        w = _mv(R, kin.v[link, :3])
+        vl = _mv(R, kin.v[link, 3:])
+        return vl + _cross(w, pt - kin.p_w[link])
 
-    v_rel = point_vel(sphere_link, contact_pt) - point_vel(plane_link,
-                                                           contact_pt)
-    v_n = jnp.sum(v_rel * n_w, -1)
-    m_s = params.mass[..., sphere_link]
-    m_p = params.mass[..., plane_link]
+    v_rel = point_vel(sphere_link, contact_pt) - \
+        point_vel(plane_link, contact_pt)
+    v_n = jnp.sum(v_rel * n_w, 0)
+    mass = jnp.asarray(params.mass).T                          # (nb, N)
+    m_s = mass[sphere_link]
+    m_p = mass[plane_link]
     m_eff = 1.0 / (1.0 / m_s + 1.0 / jnp.maximum(m_p, 1e-6))
     f_n_mag = m_eff * (depth / tau ** 2 + 2.0 * zeta * (-v_n) / tau)
     active = depth > 0
     if plane_halfsize is not None:
-        local = jnp.abs(mv(jnp.swapaxes(R_p, -1, -2), center - pp_w))
-        active = active & (local[..., 0] < plane_halfsize) & \
-            (local[..., 1] < plane_halfsize)
+        local = jnp.abs(_mvT(R_p, center - pp_w))
+        active = active & (local[0] < plane_halfsize) & \
+            (local[1] < plane_halfsize)
     f_n_mag = jnp.where(active, jnp.maximum(f_n_mag, 0.0), 0.0)
-    v_t = v_rel - v_n[..., None] * n_w
-    v_t_norm = jnp.linalg.norm(v_t, axis=-1) + 1e-8
-    i_mean = jnp.mean(params.inertia[..., sphere_link, :], -1) + 1e-8
+    v_t = v_rel - v_n[None] * n_w
+    v_t_norm = jnp.sqrt(jnp.sum(v_t * v_t, 0)) + 1e-8
+    inertia = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1)  # (nb,3,N)
+    i_mean = jnp.mean(inertia[sphere_link], 0) + 1e-8
     m_eff_t = 1.0 / (1.0 / m_s + r_scaled ** 2 / i_mean)
-    cap = jnp.minimum(mu * f_n_mag, m_eff_t * v_t_norm / dt)
-    f_t = -v_t / v_t_norm[..., None] * cap[..., None]
-    force = n_w * f_n_mag[..., None] + f_t  # on the sphere body
-    f_ext = jnp.zeros(kin.p_w.shape[:-1] + (6,))
+    mu_n = jnp.broadcast_to(jnp.asarray(mu, jnp.float32), (n,))
+    cap = jnp.minimum(mu_n * f_n_mag, m_eff_t * v_t_norm / dt)
+    f_t = -v_t / v_t_norm[None] * cap[None]
+    force = n_w * f_n_mag[None] + f_t                          # on sphere
+    f_ext = jnp.zeros((model.nb, 6, n))
     arm_s = contact_pt - p_s
-    f_ext = f_ext.at[..., sphere_link, :3].add(jnp.cross(arm_s, force))
-    f_ext = f_ext.at[..., sphere_link, 3:].add(force)
+    f_ext = f_ext.at[sphere_link, :3].add(_cross(arm_s, force))
+    f_ext = f_ext.at[sphere_link, 3:].add(force)
     arm_p = contact_pt - p_p
-    f_ext = f_ext.at[..., plane_link, :3].add(jnp.cross(arm_p, -force))
-    f_ext = f_ext.at[..., plane_link, 3:].add(-force)
-    return f_ext
+    f_ext = f_ext.at[plane_link, :3].add(_cross(arm_p, -force))
+    f_ext = f_ext.at[plane_link, 3:].add(-force)
+    return f_ext[..., 0] if single else f_ext
+
+
+def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
+                              params: DynParams, sphere_links,
+                              sphere_offsets, radii, plane_links,
+                              plane_points, plane_normals, mu,
+                              dt=1.0 / 60.0, tau=0.02, zeta=1.0,
+                              plane_halfsizes=None):
+    """Vectorized form of ``sphere_plane_pair_forces`` over P pairs at
+    once — ONE set of tensor ops instead of P separate calls (ShadowHand
+    has 38 pairs per substep; separate calls blow the per-step HLO to
+    ~100 s CPU compiles and pay P x the kernel launches).
+
+    sphere_links/plane_links: static (P,) int arrays.
+    sphere_offsets/plane_points: (P, 3) static or (P, 3, N) env-last (in
+    the PLANE/SPHERE body frames; multiplied by params.scale like the
+    single-pair function). plane_normals: (P, 3) static. radii: (P,) or
+    (P, N). mu: scalar, (P,), or (P, N). plane_halfsizes: None, (P,), or
+    (P, N). Returns env-last (nb, 6, N) ((nb, 6) for single-env kin)."""
+    single = kin.p_w.ndim == 2
+    if single:
+        kin = jax.tree_util.tree_map(lambda a: a[..., None], kin)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], params)
+    n = kin.p_w.shape[-1]
+    P = len(sphere_links)
+    scale = jnp.broadcast_to(jnp.asarray(params.scale), (n,))
+
+    def per_pair_vec(x):
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 2:
+            x = x[:, :, None]
+        return jnp.broadcast_to(x, (P, 3, n)) * scale
+
+    off_s = per_pair_vec(sphere_offsets)
+    pp = per_pair_vec(plane_points)
+    nrm = jnp.broadcast_to(
+        jnp.asarray(plane_normals, jnp.float32)[:, :, None], (P, 3, n))
+    radii_j = jnp.broadcast_to(
+        jnp.asarray(radii, jnp.float32).reshape(P, -1), (P, n)) * scale
+    mu_j = jnp.broadcast_to(
+        jnp.asarray(mu, jnp.float32).reshape(-1, 1), (P, n)) \
+        if jnp.asarray(mu).ndim <= 1 else jnp.asarray(mu, jnp.float32)
+
+    g_s = np.zeros((P, model.nb), np.float32)
+    g_s[np.arange(P), np.asarray(sphere_links)] = 1.0
+    g_p = np.zeros((P, model.nb), np.float32)
+    g_p[np.arange(P), np.asarray(plane_links)] = 1.0
+
+    def gather(mat):
+        R = _fold(mat, kin.R_w.reshape(model.nb, -1)).reshape(P, 3, 3, n)
+        p = _fold(mat, kin.p_w.reshape(model.nb, -1)).reshape(P, 3, n)
+        vl = _fold(mat, kin.v.reshape(model.nb, -1)).reshape(P, 6, n)
+        return R, p, vl
+
+    R_s, p_s, v_s = gather(g_s)
+    R_p, p_p, v_p = gather(g_p)
+    center = p_s + _mv(R_s, off_s)
+    n_w = _mv(R_p, nrm)
+    pp_w = p_p + _mv(R_p, pp)
+    dist = jnp.sum((center - pp_w) * n_w, 1)                  # (P, N)
+    depth = radii_j - dist
+    contact_pt = center - n_w * radii_j[:, None, :]
+
+    def point_vel(R, p, v6, pt):
+        w = _mv(R, v6[:, :3])
+        vl = _mv(R, v6[:, 3:])
+        return vl + _cross(w, pt - p)
+
+    v_rel = point_vel(R_s, p_s, v_s, contact_pt) - \
+        point_vel(R_p, p_p, v_p, contact_pt)
+    v_n = jnp.sum(v_rel * n_w, 1)
+    mass = jnp.asarray(params.mass).T                          # (nb, N)
+    m_s = _fold(g_s, mass)
+    m_p = _fold(g_p, mass)
+    m_eff = 1.0 / (1.0 / m_s + 1.0 / jnp.maximum(m_p, 1e-6))
+    f_n_mag = m_eff * (depth / tau ** 2 + 2.0 * zeta * (-v_n) / tau)
+    active = depth > 0
+    if plane_halfsizes is not None:
+        hs = jnp.broadcast_to(
+            jnp.asarray(plane_halfsizes, jnp.float32).reshape(P, -1),
+            (P, n))
+        local = jnp.abs(_mvT(R_p, center - pp_w))
+        active = active & (local[:, 0] < hs) & (local[:, 1] < hs)
+    f_n_mag = jnp.where(active, jnp.maximum(f_n_mag, 0.0), 0.0)
+    v_t = v_rel - v_n[:, None, :] * n_w
+    v_t_norm = jnp.sqrt(jnp.sum(v_t * v_t, 1)) + 1e-8
+    inertia = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1)  # (nb,3,N)
+    i_mean = _fold(g_s, jnp.mean(inertia, 1)) + 1e-8
+    m_eff_t = 1.0 / (1.0 / m_s + radii_j ** 2 / i_mean)
+    cap = jnp.minimum(mu_j * f_n_mag, m_eff_t * v_t_norm / dt)
+    f_t = -v_t / v_t_norm[:, None, :] * cap[:, None, :]
+    force = n_w * f_n_mag[:, None, :] + f_t                    # on spheres
+    wr_s = jnp.concatenate([_cross(contact_pt - p_s, force), force], 1)
+    wr_p = jnp.concatenate([_cross(contact_pt - p_p, -force), -force], 1)
+    out = _fold(g_s.T, wr_s.reshape(P, -1)).reshape(model.nb, 6, n) + \
+        _fold(g_p.T, wr_p.reshape(P, -1)).reshape(model.nb, 6, n)
+    return out[..., 0] if single else out
 
 
 def ground_contact_forces(model: ArticulatedModel, kin, params: DynParams,
                           dt=1.0 / 60.0, tau=0.02, zeta=1.0):
-    """World-frame external spatial forces (..., nb, 6) from plane contacts.
+    """World-frame external spatial forces (nb, 6, N) from plane contacts
+    (env-last; single-env kinematics give (nb, 6)).
 
     Mass-adaptive penalty model (stable under the DR configs' 100x mass
     randomization, where fixed spring constants would blow up light links):
@@ -165,46 +305,56 @@ def ground_contact_forces(model: ArticulatedModel, kin, params: DynParams,
 
     Smooth in all inputs; differentiable.
     """
+    single = kin.p_w.ndim == 2
+    if single:
+        kin = jax.tree_util.tree_map(lambda a: a[..., None], kin)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], params)
+    n = kin.p_w.shape[-1]
     links, offsets, radii, geom_ids = contact_points(model)
-    if links.shape[0] == 0:
-        return jnp.zeros(kin.p_w.shape[:-1] + (6,))
-    scale = params.scale[..., None, None]
-    offsets_j = jnp.asarray(offsets, jnp.float32) * scale  # (.., P, 3)
-    radii_j = jnp.asarray(radii, jnp.float32) * params.scale[..., None]
-    mu = params.contact_friction[..., jnp.asarray(geom_ids)]
+    P = links.shape[0]
+    if P == 0:
+        out = jnp.zeros((model.nb, 6, n))
+        return out[..., 0] if single else out
+    scale = jnp.broadcast_to(jnp.asarray(params.scale), (n,))
+    offsets_j = jnp.asarray(offsets, jnp.float32)[:, :, None] * scale
+    radii_j = jnp.asarray(radii, jnp.float32)[:, None] * scale  # (P, N)
+    mu = jnp.asarray(params.contact_friction).T[geom_ids]       # (P, N)
 
-    R = jnp.take(kin.R_w, jnp.asarray(links), axis=-3)     # (.., P, 3, 3)
-    p0 = jnp.take(kin.p_w, jnp.asarray(links), axis=-2)    # (.., P, 3)
-    v_link = jnp.take(kin.v, jnp.asarray(links), axis=-2)  # (.., P, 6)
-    centers = p0 + jnp.einsum("...pij,...pj->...pi", R, offsets_j)
+    gather = np.zeros((P, model.nb), np.float32)
+    gather[np.arange(P), links] = 1.0
+    R = _fold(gather, kin.R_w.reshape(model.nb, -1)).reshape(P, 3, 3, n)
+    p0 = _fold(gather, kin.p_w.reshape(model.nb, -1)).reshape(P, 3, n)
+    v_link = _fold(gather, kin.v.reshape(model.nb, -1)).reshape(P, 6, n)
+    centers = p0 + _mv(R, offsets_j)
     # Forces act at the sphere surface touching the plane, not the center —
     # the lever arm below the COM is what converts sliding into rolling.
-    pts = centers.at[..., 2].add(-radii_j)
+    pts = centers.at[:, 2].add(-radii_j)
     # Point velocity: v_link is [w; vl] in body coords at link origin.
-    w_world = jnp.einsum("...pij,...pj->...pi", R, v_link[..., :3])
-    v_world = jnp.einsum("...pij,...pj->...pi", R, v_link[..., 3:])
+    w_world = _mv(R, v_link[:, :3])
+    v_world = _mv(R, v_link[:, 3:])
     arm = pts - p0
-    v_pt = v_world + jnp.cross(w_world, arm)
+    v_pt = v_world + _cross(w_world, arm)
 
     # Per-point effective masses (link-local approximation).
-    m_link = params.mass[..., jnp.asarray(links)]
-    i_mean = jnp.mean(
-        jnp.take(params.inertia, jnp.asarray(links), axis=-2)
-        * params.scale[..., None, None] ** 2, -1)
-    arm_sq = jnp.sum(arm * arm, -1)
+    mass = jnp.asarray(params.mass).T                           # (nb, N)
+    m_link = mass[links]                                        # (P, N)
+    inertia = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1)  # (nb,3,N)
+    i_mean = jnp.mean(inertia[links], 1) * scale ** 2           # (P, N)
+    arm_sq = jnp.sum(arm * arm, 1)
     m_eff_n = m_link
     m_eff_t = 1.0 / (1.0 / m_link + arm_sq / (i_mean + 1e-8))
 
-    depth = radii_j - centers[..., 2]
-    depth_dot = -v_pt[..., 2]
+    depth = radii_j - centers[:, 2]
+    depth_dot = -v_pt[:, 2]
     f_n = m_eff_n * (depth / tau ** 2 + 2.0 * zeta * depth_dot / tau)
     f_n = jnp.where(depth > 0, jnp.maximum(f_n, 0.0), 0.0)
-    v_t = v_pt.at[..., 2].set(0.0)
-    v_t_norm = jnp.linalg.norm(v_t, axis=-1) + 1e-8
+    v_t = v_pt.at[:, 2].set(0.0)
+    v_t_norm = jnp.sqrt(jnp.sum(v_t * v_t, 1)) + 1e-8
     cap = jnp.minimum(mu * f_n, m_eff_t * v_t_norm / dt)
-    f_t = -v_t / v_t_norm[..., None] * cap[..., None]
-    force = f_t.at[..., 2].set(f_n)       # (.., P, 3) world force at pts
-    torque = jnp.cross(arm, force)        # about link origin, world frame
-    wrench = jnp.concatenate([torque, force], -1)          # (.., P, 6)
-    scat = jnp.asarray(_point_scatter(model, links))       # (nb, P)
-    return jnp.einsum("bp,...pk->...bk", scat, wrench)
+    f_t = -v_t / v_t_norm[:, None] * cap[:, None]
+    force = f_t.at[:, 2].set(f_n)       # (P, 3, N) world force at pts
+    torque = _cross(arm, force)         # about link origin, world frame
+    wrench = jnp.concatenate([torque, force], 1)                # (P, 6, N)
+    out = _fold(gather.T, wrench.reshape(P, -1)).reshape(model.nb, 6, n)
+    return out[..., 0] if single else out

@@ -2,292 +2,476 @@
 dense SPD solve, semi-implicit integration.
 
 Replaces the PhysX reduced-coordinate articulation solver the reference
-drives through Isaac Gym (SURVEY.md §2.2). Design choices for TPU:
+drives through Isaac Gym (SURVEY.md §2.2). TPU-first design, validated by
+measurement on the target chip:
 
-  * the engine is NATIVELY BATCHED over the env axis (params-as-data):
-    every public function accepts single-env ``(nq,)``-style arrays or
-    batched ``(N, nq)`` ones. Tasks call it on whole env batches, so the
-    hot ops are big regular tensor contractions, not vmapped scalar code;
-  * all per-link/per-dof loops are replaced by batched tensor ops over the
-    whole link axis: spatial quantities live in world Plücker coordinates
-    about a floating reference point (the first root's position), where the
-    tree structure enters only through static 0/1 ancestor masks — so RNEA
-    bias forces, body velocities and the CRBA mass matrix are a handful of
-    masked matmuls/einsums instead of thousands of unrolled 6x6 ops. This
-    keeps the per-step HLO small (fast compiles, lax.scan-friendly) and
-    maps the contraction work onto the MXU;
+  * ENV-LAST ("structure of arrays") layout: inside the engine every
+    tensor carries the env batch on the MINOR axis — R_w is (nb, 3, 3, N),
+    joint subspaces are (nv, 6, N), mass matrices are (nv, nv, N). The
+    vector lanes are fully used by envs; structure dims (3, 6, nv) live on
+    unpadded leading axes. The env-first layout ((N, nb, 3, 3), batched
+    matmuls) measures 15x slower at 16k envs — every op pads its tiny
+    minor dims to the 128-lane tile and wastes ~40x HBM bandwidth;
+  * small fixed-size contractions (3x3, 6x6) are UNROLLED into sums of
+    elementwise products on (.., N) slices — they fuse into a few VPU
+    kernels. einsums with a trailing batch axis are NOT used: XLA
+    re-transposes them into batch-major dot_generals (measured 20x slower
+    than the unrolled form);
+  * tree-structure contractions (ancestor masks, level scatter/gather,
+    contact-point accumulation) FOLD the trailing dims into one big minor
+    axis and become plain 2D matmuls: V = (anc @ Sv.reshape(nv, 6N))
+    .reshape(nb, 6, N) — MXU work with perfect layout, no scatters
+    (TPU scatter lowering is serial);
+  * spatial quantities live in world Plücker coordinates about a floating
+    reference point (the first root's position), where the tree structure
+    enters only through those static 0/1 masks; the reference point keeps
+    float32 moment arms bounded when locomoting bodies wander;
   * FK is level-batched: links at equal tree depth propagate together, so
     the only sequential dependency is the tree depth (<= ~7);
-  * the reference point o = p_w[root] (not the world origin) keeps Plücker
-    moment arms bounded by the mechanism size, so float32 stays accurate
-    when locomoting bodies wander far from the origin;
-  * the (M + ...) qdd = rhs solve uses a custom batched small-SPD kernel
-    (ops/spd_kernel.py): XLA's cholesky/triangular_solve custom calls cost
-    ~2-4 ms for (1024, 14..30) systems on TPU — 10-100x the rest of the
-    step — while one Pallas Gauss-elimination kernel with envs on the
-    vector lanes runs the whole batch in tens of microseconds;
+  * the (M + ...) qdd = rhs solve feeds ops/spd_kernel.py's lanes-layout
+    column Cholesky DIRECTLY (the lhs is assembled as (nv, nv, N)):
+    XLA's cholesky/triangular_solve custom calls cost 4.4-56 ms per
+    rollout step at these shapes; the fused unrolled form is ~100x
+    cheaper;
   * joint damping (and PD derivative gains) are handled implicitly by
     folding ``dt * d`` into the LHS, which keeps large randomized
-    damping/stiffness draws stable at 1/60 s steps — important because the
-    DR configs sample damping up to 100x defaults;
+    damping/stiffness draws stable at 1/60 s steps;
   * everything is a pure function of (q, v, tau, params), so domain
     randomization is just batched parameter arrays.
+
+Public functions accept single-env ``(nq,)`` arrays or env-first batched
+``(N, nq)`` ones (the task-state layout); the env-last form is internal,
+with one cheap 2D transpose per boundary array. ``Kinematics`` fields are
+env-last (trailing N), squeezed for single-env calls.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import List, NamedTuple, Optional
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from .model import ArticulatedModel, DynParams
-from .spatial import hat, quat_to_rot, quat_integrate
+from .spatial import hat
 from ..ops.spd_kernel import spd_solve_lanes
 
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _hat_batch(v):
-    """(..., 3) -> (..., 3, 3) skew-symmetric cross-product matrices."""
-    x, y, z = v[..., 0], v[..., 1], v[..., 2]
-    zero = jnp.zeros_like(x)
+# --------------------------------------------------------------------- #
+# Env-last helpers: arrays are (.., structure dims .., N); fixed-size
+# contractions unroll into elementwise products of (.., N) slices.
+# --------------------------------------------------------------------- #
+def _mm(A, B, axa=-3, n=3):
+    """Unrolled matmul over two structure axes: A, B are (.., n, n, N)
+    (structure axes at positions -3, -2). Returns (.., n, n, N)."""
+    rows = []
+    for i in range(n):
+        row = []
+        for j in range(n):
+            row.append(sum(A[..., i, k, :] * B[..., k, j, :]
+                           for k in range(n)))
+        rows.append(jnp.stack(row, -2))
+    return jnp.stack(rows, -3)
+
+
+def _mmT(A, B, n=3):
+    """A^T @ B, unrolled: (.., n, n, N) x (.., n, n, N)."""
+    rows = []
+    for i in range(n):
+        row = []
+        for j in range(n):
+            row.append(sum(A[..., k, i, :] * B[..., k, j, :]
+                           for k in range(n)))
+        rows.append(jnp.stack(row, -2))
+    return jnp.stack(rows, -3)
+
+
+def _mv(A, x, n=3):
+    """Unrolled matvec: (.., n, n, N) x (.., n, N) -> (.., n, N)."""
+    return jnp.stack([sum(A[..., i, k, :] * x[..., k, :]
+                          for k in range(n)) for i in range(n)], -2)
+
+
+def _mvT(A, x, n=3):
+    """A^T x, unrolled."""
+    return jnp.stack([sum(A[..., k, i, :] * x[..., k, :]
+                          for k in range(n)) for i in range(n)], -2)
+
+
+def _cross(a, b):
+    """Cross product over the second-to-last (3-sized) axis: (.., 3, N)."""
+    a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+    b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+    return jnp.stack([a1 * b2 - a2 * b1,
+                      a2 * b0 - a0 * b2,
+                      a0 * b1 - a1 * b0], -2)
+
+
+def _fold(mat, x):
+    """Static-mask contraction as one 2D matmul: mat (r, s) numpy/const,
+    x (s, d1, .., N) -> (r, d1, .., N). Folds all trailing dims into the
+    minor axis (reshapes are layout-free)."""
+    shape = x.shape
+    out = jnp.matmul(jnp.asarray(mat, x.dtype),
+                     x.reshape(shape[0], -1), precision=_HI)
+    return out.reshape((mat.shape[0],) + shape[1:])
+
+
+def _quat_to_rot_rows(q4):
+    """(4, N) quaternion rows -> (3, 3, N) rotation (body->world)."""
+    w, x, y, z = q4[0], q4[1], q4[2], q4[3]
+    rows = [
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], 0),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], 0),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], 0),
+    ]
+    return jnp.stack(rows, 0)
+
+
+def _quat_mul_rows(a, b):
+    """(4, N) x (4, N) Hamilton product."""
+    aw, ax, ay, az = a[0], a[1], a[2], a[3]
+    bw, bx, by, bz = b[0], b[1], b[2], b[3]
     return jnp.stack([
-        jnp.stack([zero, -z, y], -1),
-        jnp.stack([z, zero, -x], -1),
-        jnp.stack([-y, x, zero], -1)], -2)
-
-
-def _rodrigues(axes, angles):
-    """(..., 3) unit axes + (...,) angles -> (..., 3, 3) rotations."""
-    K = _hat_batch(axes)
-    s = jnp.sin(angles)[..., None, None]
-    c = jnp.cos(angles)[..., None, None]
-    KK = jnp.matmul(K, K, precision=_HI)
-    return jnp.eye(3) + s * K + (1.0 - c) * KK
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw], 0)
 
 
 def _rot_axis(axis, angle):
-    """Rotation matrix about a fixed unit axis (Rodrigues)."""
+    """Rotation matrix about a fixed unit axis (Rodrigues), single-env."""
     a = jnp.asarray(axis)
     K = hat(a)
     s, c = jnp.sin(angle), jnp.cos(angle)
     return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
 
 
-def _promote(x):
-    """Adds a leading batch axis to an array or DynParams pytree."""
-    return jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], x)
-
-
-def _squeeze0(x):
-    return jax.tree_util.tree_map(lambda a: a[0], x)
+def _el(x):
+    """Boundary transpose env-first (N, d) -> env-last (d, N)."""
+    return x.T
 
 
 class Kinematics(NamedTuple):
-    """Per-link world poses and world-Plücker velocity-level quantities.
-    Shapes shown for the batched form; single-env calls return them without
-    the leading N."""
-    R_w: jnp.ndarray   # (N, nb, 3, 3) link->world rotations
-    p_w: jnp.ndarray   # (N, nb, 3) link origins in world
-    v: jnp.ndarray     # (N, nb, 6) link spatial velocities [w; vl], BODY
+    """Per-link world poses and world-Plücker velocity-level quantities,
+    ENV-LAST (trailing N; squeezed away for single-env calls)."""
+    R_w: jnp.ndarray   # (nb, 3, 3, N) link->world rotations
+    p_w: jnp.ndarray   # (nb, 3, N) link origins in world
+    v: jnp.ndarray     # (nb, 6, N) link spatial velocities [w; vl], BODY
     #                    coords at the link origin (contacts/tasks read it)
-    S_o: jnp.ndarray   # (N, nv, 6) world-Plücker dof motion subspaces
-    Sv_o: jnp.ndarray  # (N, nv, 6) S_o rows scaled by the dof velocities
-    V_o: jnp.ndarray   # (N, nb, 6) world-Plücker link velocities
-    o: jnp.ndarray     # (N, 3) floating reference point (first root)
+    S_o: jnp.ndarray   # (nv, 6, N) world-Plücker dof motion subspaces
+    Sv_o: jnp.ndarray  # (nv, 6, N) S_o rows scaled by the dof velocities
+    V_o: jnp.ndarray   # (nb, 6, N) world-Plücker link velocities
+    o: jnp.ndarray     # (3, N) floating reference point (first root)
+
+
+def _promote(x):
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], x)
+
+
+def _squeeze_last(tree):
+    return jax.tree_util.tree_map(lambda a: a[..., 0], tree)
+
+
+def _structure(model: ArticulatedModel):
+    """Cached static one-hot matrices for the fold contractions."""
+    s = getattr(model, "_el_structure", None)
+    if s is not None:
+        return s
+    nb, nv = model.nb, model.nv
+    nj = model.j1_links.size
+    # Level propagation: per level, gather parents and scatter results.
+    lvl_gather = []   # (l, nb + 1) one-hot of parent rows
+    lvl_scatter = []  # (nb + 1, l) one-hot of destination rows
+    for lvl in model.levels:
+        g = np.zeros((len(lvl), nb + 1), np.float32)
+        g[np.arange(len(lvl)), model.parent_pad[lvl]] = 1.0
+        sc = np.zeros((nb + 1, len(lvl)), np.float32)
+        sc[lvl, np.arange(len(lvl))] = 1.0
+        lvl_gather.append(g)
+        lvl_scatter.append(sc)
+    j1_from_links = np.zeros((nj, nb), np.float32)       # gather 1-dof links
+    j1_from_links[np.arange(nj), model.j1_links] = 1.0
+    j1_to_links = j1_from_links.T                        # scatter back
+    j1_to_v = np.zeros((nv, nj), np.float32)             # dof rows scatter
+    j1_to_v[model.j1_v, np.arange(nj)] = 1.0
+    dof_from_link = np.zeros((nv, nb), np.float32)       # V_o per dof link
+    dof_from_link[np.arange(nv), model.dof_link] = 1.0
+    s = dict(lvl_gather=lvl_gather, lvl_scatter=lvl_scatter,
+             j1_from_links=j1_from_links, j1_to_links=j1_to_links,
+             j1_to_v=j1_to_v, dof_from_link=dof_from_link)
+    model._el_structure = s
+    return s
 
 
 def forward_kinematics(model: ArticulatedModel, q, v_dof,
                        params: DynParams) -> Kinematics:
     """Computes per-link world poses, world-Plücker joint subspaces and
-    link velocities. Level-batched: one gather+matmul per tree depth.
+    link velocities. Level-batched; env-last throughout.
 
     Link translations scale with ``params.scale`` (uniform geometry scale —
     the 'scale' DR operation changes limb lengths, not just collision
     radii)."""
     if q.ndim == 1:
-        return _squeeze0(forward_kinematics(
+        return _squeeze_last(forward_kinematics(
             model, q[None], v_dof[None], _promote(params)))
     n = q.shape[0]
     nb, nv = model.nb, model.nv
-    # --- local child->parent transforms for every link, batched. -------- #
-    R_loc = jnp.broadcast_to(jnp.asarray(model.joint_rot_T, jnp.float32),
-                             (n, nb, 3, 3))
-    scale = jnp.reshape(
-        jnp.broadcast_to(jnp.asarray(params.scale), (n,)), (n, 1, 1))
-    r_loc = jnp.asarray(model.joint_pos, jnp.float32) * scale  # (n, nb, 3)
+    st = _structure(model)
+    qT = _el(q)                                           # (nq, N)
+    vT = _el(v_dof)                                       # (nv, N)
+    scale = jnp.broadcast_to(jnp.asarray(params.scale), (n,))  # (N,)
+
+    # --- local child->parent transforms (R_loc = E^T, r_loc), env-last. - #
+    E_tT = jnp.asarray(model.joint_rot_T, jnp.float32)    # (nb, 3, 3)
+    R_loc = jnp.broadcast_to(E_tT[..., None], (nb, 3, 3, n))
+    r_loc = jnp.asarray(model.joint_pos,
+                        jnp.float32)[..., None] * scale   # (nb, 3, N)
     if model.j1_links.size:
-        q1 = q[:, model.j1_q]                                  # (n, nj)
-        axes = jnp.asarray(model.j1_axis)                      # (nj, 3)
-        rev = jnp.asarray(model.j1_rev)
-        Rj = _rodrigues(jnp.broadcast_to(axes, (n,) + axes.shape),
-                        q1 * rev)                              # (n, nj, 3, 3)
-        E_tT = jnp.asarray(model.joint_rot_T)[model.j1_links]  # (nj, 3, 3)
-        R1 = jnp.matmul(E_tT, Rj, precision=_HI)
-        R_loc = R_loc.at[:, model.j1_links].set(R1)
-        # Prismatic joints translate along E_t^T @ axis by q.
-        ax_par = jnp.einsum("jik,jk->ji", E_tT, axes, precision=_HI)
-        r1 = r_loc[:, model.j1_links] + \
-            ax_par * (q1 * (1.0 - rev))[..., None]
-        r_loc = r_loc.at[:, model.j1_links].set(r1)
+        q1 = qT[model.j1_q]                               # (nj, N)
+        axes = jnp.asarray(model.j1_axis)[..., None]      # (nj, 3, 1)
+        rev = jnp.asarray(model.j1_rev)[:, None]          # (nj, 1)
+        ang = q1 * rev
+        sin, cos = jnp.sin(ang), jnp.cos(ang)             # (nj, N)
+        # Rodrigues, unrolled: R = I + sin K + (1-cos) K^2.
+        ax, ay, az = axes[:, 0], axes[:, 1], axes[:, 2]   # (nj, 1)
+        one = 1.0 - cos
+        Rj = jnp.stack([
+            jnp.stack([cos + ax * ax * one, ax * ay * one - az * sin,
+                       ax * az * one + ay * sin], 1),
+            jnp.stack([ay * ax * one + az * sin, cos + ay * ay * one,
+                       ay * az * one - ax * sin], 1),
+            jnp.stack([az * ax * one - ay * sin, az * ay * one + ax * sin,
+                       cos + az * az * one], 1)], 1)      # (nj, 3, 3, N)
+        E1 = jnp.broadcast_to(E_tT[model.j1_links][..., None],
+                              (len(model.j1_links), 3, 3, n))
+        R1 = _mm(E1, Rj)
+        R_loc = _fold(st["j1_to_links"],
+                      R1.reshape(len(model.j1_links), -1)).reshape(
+            nb, 3, 3, n) + R_loc * (1.0 - jnp.asarray(
+                st["j1_to_links"].sum(1))[:, None, None, None])
+        # Prismatic translation along E_t^T @ axis by q.
+        ax_par = np.einsum("jik,jk->ji", model.joint_rot_T[model.j1_links],
+                           model.j1_axis)                 # (nj, 3) static
+        pris = q1 * (1.0 - rev)                           # (nj, N)
+        r1 = r_loc[model.j1_links] + \
+            jnp.asarray(ax_par, jnp.float32)[..., None] * pris[:, None, :]
+        r_loc = _fold(st["j1_to_links"],
+                      r1.reshape(len(model.j1_links), -1)).reshape(
+            nb, 3, n) + r_loc * (1.0 - jnp.asarray(
+                st["j1_to_links"].sum(1))[:, None, None])
     for (i, qi, vi) in model.free_list:
-        R_loc = R_loc.at[:, i].set(quat_to_rot(q[:, qi + 3:qi + 7]))
-        r_loc = r_loc.at[:, i].set(q[:, qi:qi + 3])
+        R_loc = R_loc.at[i].set(_quat_to_rot_rows(qT[qi + 3:qi + 7]))
+        r_loc = r_loc.at[i].set(qT[qi:qi + 3])
 
     # --- level-batched propagation (virtual world node at index nb). ---- #
-    R_w = jnp.zeros((n, nb + 1, 3, 3)).at[:, nb].set(jnp.eye(3))
-    p_w = jnp.zeros((n, nb + 1, 3))
-    par = model.parent_pad
-    for lvl in model.levels:
-        Rp = R_w[:, par[lvl]]                                  # (n, l, 3, 3)
-        pp = p_w[:, par[lvl]]
-        R_w = R_w.at[:, lvl].set(
-            jnp.matmul(Rp, R_loc[:, lvl], precision=_HI))
-        p_w = p_w.at[:, lvl].set(
-            pp + jnp.einsum("nlij,nlj->nli", Rp, r_loc[:, lvl],
-                            precision=_HI))
-    R_w, p_w = R_w[:, :nb], p_w[:, :nb]
+    R_w = jnp.zeros((nb + 1, 3, 3, n)).at[nb].set(
+        jnp.broadcast_to(jnp.eye(3)[..., None], (3, 3, n)))
+    p_w = jnp.zeros((nb + 1, 3, n))
+    for lvl, g, sc in zip(model.levels, st["lvl_gather"],
+                          st["lvl_scatter"]):
+        Rp = _fold(g, R_w.reshape(nb + 1, -1)).reshape(len(lvl), 3, 3, n)
+        pp = _fold(g, p_w.reshape(nb + 1, -1)).reshape(len(lvl), 3, n)
+        R_new = _mm(Rp, R_loc[lvl])
+        p_new = pp + _mv(Rp, r_loc[lvl])
+        R_w = R_w + _fold(sc, R_new.reshape(len(lvl), -1)).reshape(
+            nb + 1, 3, 3, n)
+        p_w = p_w + _fold(sc, p_new.reshape(len(lvl), -1)).reshape(
+            nb + 1, 3, n)
+    R_w, p_w = R_w[:nb], p_w[:nb]
 
     # --- world-Plücker dof subspaces about o = first root position. ----- #
-    o = p_w[:, 0]
-    rel = p_w - o[:, None]                                     # (n, nb, 3)
-    S_o = jnp.zeros((n, nv, 6))
+    o = p_w[0]                                            # (3, N)
+    rel = p_w - o[None]                                   # (nb, 3, N)
+    S_o = jnp.zeros((nv, 6, n))
     if model.j1_links.size:
-        aw = jnp.einsum("njik,jk->nji", R_w[:, model.j1_links],
-                        jnp.asarray(model.j1_axis), precision=_HI)
-        mom = jnp.cross(rel[:, model.j1_links], aw)
-        rev = jnp.asarray(model.j1_rev)[:, None]
-        # revolute: [a; (p-o) x a]; prismatic: [0; a].
-        S_o = S_o.at[:, model.j1_v].set(
-            jnp.concatenate([aw * rev, mom * rev + aw * (1.0 - rev)], -1))
+        nj = len(model.j1_links)
+        axes = jnp.broadcast_to(
+            jnp.asarray(model.j1_axis, jnp.float32)[..., None],
+            (nj, 3, n))
+        aw = _mv(R_w[model.j1_links], axes)               # (nj, 3, N)
+        mom = _cross(rel[model.j1_links], aw)
+        rev = jnp.asarray(model.j1_rev)[:, None, None]
+        rows = jnp.concatenate([aw * rev,
+                                mom * rev + aw * (1.0 - rev)], 1)
+        S_o = _fold(st["j1_to_v"], rows.reshape(nj, -1)).reshape(
+            nv, 6, n)
     for (i, qi, vi) in model.free_list:
-        # Body-coordinate basis mapped to Plücker-about-o: angular dof k is
-        # [R e_k; (p-o) x R e_k], linear dof k is [0; R e_k].
-        RT = jnp.swapaxes(R_w[:, i], -1, -2)                   # rows: e_k
-        momf = jnp.cross(rel[:, i][:, None, :], RT)
-        S_o = S_o.at[:, vi:vi + 3].set(jnp.concatenate([RT, momf], -1))
-        S_o = S_o.at[:, vi + 3:vi + 6].set(
-            jnp.concatenate([jnp.zeros_like(RT), RT], -1))
+        # Angular dof k: [R e_k; (p-o) x R e_k]; linear dof k: [0; R e_k].
+        RT = jnp.swapaxes(R_w[i], 0, 1)                   # rows e_k: (3,3,N)
+        momf = _cross(jnp.broadcast_to(rel[i][None], (3, 3, n)), RT)
+        S_o = S_o.at[vi:vi + 3].set(jnp.concatenate([RT, momf], 1))
+        S_o = S_o.at[vi + 3:vi + 6].set(
+            jnp.concatenate([jnp.zeros_like(RT), RT], 1))
 
     # --- link velocities: V_b = sum_m anc[b, m] S_o[m] v[m]. ------------ #
-    anc = jnp.asarray(model.anc_dof)                           # (nb, nv)
-    Sv_o = S_o * v_dof[..., None]
-    V_o = jnp.matmul(anc, Sv_o, precision=_HI)                 # (n, nb, 6)
+    Sv_o = S_o * vT[:, None, :]
+    V_o = _fold(model.anc_dof, Sv_o.reshape(nv, -1)).reshape(nb, 6, n)
 
     # Body-frame [w; vl] at each link origin for contacts/tasks.
-    w_w = V_o[..., :3]
-    v_pt = V_o[..., 3:] + jnp.cross(w_w, rel)
-    w_b = jnp.einsum("nbij,nbi->nbj", R_w, w_w, precision=_HI)
-    vl_b = jnp.einsum("nbij,nbi->nbj", R_w, v_pt, precision=_HI)
-    v_body = jnp.concatenate([w_b, vl_b], -1)
+    w_w = V_o[:, :3]
+    v_pt = V_o[:, 3:] + _cross(w_w, rel)
+    w_b = _mvT(R_w, w_w)
+    vl_b = _mvT(R_w, v_pt)
+    v_body = jnp.concatenate([w_b, vl_b], 1)
     return Kinematics(R_w=R_w, p_w=p_w, v=v_body, S_o=S_o, Sv_o=Sv_o,
                       V_o=V_o, o=o)
 
 
 def _link_inertias(model: ArticulatedModel, params: DynParams):
-    """(..., nb, 6, 6) body-frame spatial inertias at the link origins from
-    per-env mass/com/inertia (COM offsets and inertias scale with the
-    geometry scale)."""
-    s = params.scale[..., None, None]
-    com = params.com * s                                       # (.., nb, 3)
-    diag = params.inertia * s ** 2
-    I_com = jnp.eye(3) * diag[..., None, :]  # wrong axis placement? no:
-    # eye[i, j] * diag[..., j] puts diag[j] at (j, j) and 0 elsewhere.
-    c = _hat_batch(com)
-    m = params.mass[..., None, None]
-    tl = I_com + m * jnp.matmul(c, jnp.swapaxes(c, -1, -2), precision=_HI)
-    eye = jnp.broadcast_to(jnp.eye(3), c.shape)
-    top = jnp.concatenate([tl, m * c], -1)
-    bot = jnp.concatenate([m * jnp.swapaxes(c, -1, -2), m * eye], -1)
-    return jnp.concatenate([top, bot], -2)
+    """(nb, 6, 6, N) body-frame spatial inertias at the link origins from
+    per-env mass/com/inertia, env-last (COM offsets and inertias scale
+    with the geometry scale). Accepts single-env or (N, ..)-batched
+    params."""
+    mass = jnp.asarray(params.mass)
+    single = mass.ndim == 1
+    if single:
+        params = _promote(params)
+    n = jnp.asarray(params.mass).shape[0]
+    nb = model.nb
+    s = jnp.broadcast_to(jnp.asarray(params.scale), (n,))
+    com = jnp.moveaxis(jnp.asarray(params.com), 0, -1) * s  # (nb, 3, N)
+    diag = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1) * s ** 2
+    m = jnp.asarray(params.mass).T[:, None, None, :]        # (nb,1,1,N)
+    cx, cy, cz = com[:, 0], com[:, 1], com[:, 2]
+    zero = jnp.zeros_like(cx)
+    c = jnp.stack([jnp.stack([zero, -cz, cy], 1),
+                   jnp.stack([cz, zero, -cx], 1),
+                   jnp.stack([-cy, cx, zero], 1)], 1)       # (nb,3,3,N)
+    ccT = _mm(c, jnp.swapaxes(c, 1, 2))
+    I_com = jnp.eye(3)[None, :, :, None] * \
+        diag[:, None, :, :]                                  # diag embed
+    tl = I_com + m * ccT
+    eye3 = jnp.broadcast_to(jnp.eye(3)[None, :, :, None], (nb, 3, 3, n))
+    top = jnp.concatenate([tl, m * c], 2)
+    bot = jnp.concatenate([m * jnp.swapaxes(c, 1, 2), m * eye3], 2)
+    out = jnp.concatenate([top, bot], 1)                     # (nb,6,6,N)
+    return out[..., 0] if single else out
 
 
 def _inertia_to_plucker(kin: Kinematics, I_sp):
     """Re-expresses body-frame spatial inertias (at link origins) in the
     shared world-Plücker frame about o: I_o = X^{-T} I X^{-1} with
-    X = [[R, 0], [hat(p-o) R, R]] the body->Plücker motion transform."""
-    RT = jnp.swapaxes(kin.R_w, -1, -2)
-    rel_hat = _hat_batch(kin.p_w - kin.o[..., None, :])
+    X = [[R, 0], [hat(p-o) R, R]] the body->Plücker motion transform.
+    All (nb, 6, 6, N), env-last."""
+    RT = jnp.swapaxes(kin.R_w, 1, 2)                      # (nb, 3, 3, N)
+    rel = kin.p_w - kin.o[None]
+    rx, ry, rz = rel[:, 0], rel[:, 1], rel[:, 2]
+    zero = jnp.zeros_like(rx)
+    rel_hat = jnp.stack([jnp.stack([zero, -rz, ry], 1),
+                         jnp.stack([rz, zero, -rx], 1),
+                         jnp.stack([-ry, rx, zero], 1)], 1)
+    G = -_mm(RT, rel_hat)                                 # (nb, 3, 3, N)
     Z = jnp.zeros_like(RT)
-    # X^{-1} = [[R^T, 0], [-R^T hat(rel), R^T]]
     Xi = jnp.concatenate([
-        jnp.concatenate([RT, Z], -1),
-        jnp.concatenate([-jnp.matmul(RT, rel_hat, precision=_HI), RT],
-                        -1)], -2)
-    IXi = jnp.matmul(I_sp, Xi, precision=_HI)
-    return jnp.matmul(jnp.swapaxes(Xi, -1, -2), IXi, precision=_HI)
+        jnp.concatenate([RT, Z], 2),
+        jnp.concatenate([G, RT], 2)], 1)                  # (nb, 6, 6, N)
+    IXi = _mm(I_sp, Xi, n=6)
+    return _mmT(Xi, IXi, n=6)
 
 
 def _bias_from_plucker(model: ArticulatedModel, kin: Kinematics, I_o,
                        params: DynParams, f_ext_world=None):
-    """RNEA with qdd = 0 in batched world-Plücker form: the bias
+    """RNEA with qdd = 0 in env-last world-Plücker form: the bias
     acceleration of body b is sum_m anc[b, m] (V_{link(m)} x S_m v_m) —
     every joint subspace is constant in its child's frame, so
     S_dot = V_child x S uniformly — each body contributes
     f_b = I a_b + V x* (I V) - f_ext, and C[m] = S_m . sum_b anc[b, m] f_b.
-    """
-    anc = jnp.asarray(model.anc_dof)                           # (nb, nv)
-    Vd = kin.V_o[..., jnp.asarray(model.dof_link), :]          # (.., nv, 6)
+    Returns (nv, N)."""
+    st = _structure(model)
+    nv, nb = model.nv, model.nb
+    n = kin.V_o.shape[-1]
+    Vd = _fold(st["dof_from_link"],
+               kin.V_o.reshape(nb, -1)).reshape(nv, 6, n)
     Sv = kin.Sv_o
-    dSa = jnp.cross(Vd[..., :3], Sv[..., :3])
-    dSl = jnp.cross(Vd[..., :3], Sv[..., 3:]) + \
-        jnp.cross(Vd[..., 3:], Sv[..., :3])
-    Sdot_v = jnp.concatenate([dSa, dSl], -1)                   # (.., nv, 6)
-    a_grav = jnp.concatenate(
-        [jnp.zeros_like(params.gravity), -params.gravity], -1)
-    a = jnp.matmul(anc, Sdot_v, precision=_HI) + a_grav[..., None, :]
-    IV = jnp.matmul(I_o, kin.V_o[..., None], precision=_HI)[..., 0]
-    Ia = jnp.matmul(I_o, a[..., None], precision=_HI)[..., 0]
-    w, vl = kin.V_o[..., :3], kin.V_o[..., 3:]
-    vxf = jnp.concatenate([jnp.cross(w, IV[..., :3]) +
-                           jnp.cross(vl, IV[..., 3:]),
-                           jnp.cross(w, IV[..., 3:])], -1)
-    f = Ia + vxf                                               # (.., nb, 6)
+    dSa = _cross(Vd[:, :3], Sv[:, :3])
+    dSl = _cross(Vd[:, :3], Sv[:, 3:]) + _cross(Vd[:, 3:], Sv[:, :3])
+    Sdot_v = jnp.concatenate([dSa, dSl], 1)               # (nv, 6, N)
+    grav = jnp.broadcast_to(jnp.asarray(params.gravity).T.reshape(3, -1),
+                            (3, n))
+    a = _fold(model.anc_dof, Sdot_v.reshape(nv, -1)).reshape(nb, 6, n)
+    a = a.at[:, 3:].add(-grav[None])
+    IV = _mv(I_o, kin.V_o, n=6)
+    Ia = _mv(I_o, a, n=6)
+    w, vl = kin.V_o[:, :3], kin.V_o[:, 3:]
+    vxf = jnp.concatenate([_cross(w, IV[:, :3]) + _cross(vl, IV[:, 3:]),
+                           _cross(w, IV[:, 3:])], 1)
+    f = Ia + vxf                                          # (nb, 6, N)
     if f_ext_world is not None:
-        rel = kin.p_w - kin.o[..., None, :]
-        n_o = f_ext_world[..., :3] + jnp.cross(rel, f_ext_world[..., 3:])
-        f = f - jnp.concatenate([n_o, f_ext_world[..., 3:]], -1)
-    return jnp.sum(jnp.matmul(anc.T, f, precision=_HI) * kin.S_o, -1)
+        rel = kin.p_w - kin.o[None]
+        n_o = f_ext_world[:, :3] + _cross(rel, f_ext_world[:, 3:])
+        f = f - jnp.concatenate([n_o, f_ext_world[:, 3:]], 1)
+    F = _fold(model.anc_dof.T, f.reshape(nb, -1)).reshape(nv, 6, n)
+    return jnp.sum(F * kin.S_o, 1)                        # (nv, N)
 
 
 def _mass_factors_plucker(model: ArticulatedModel, kin: Kinematics, I_o):
-    """CRBA left factor: F[m] = IC_dof[m] S_m where IC_dof[m] =
-    sum_b anc[b, m] I_o[b] is the composite inertia of dof m's subtree."""
-    anc = jnp.asarray(model.anc_dof)                           # (nb, nv)
-    IC = jnp.einsum("bm,...bkl->...mkl", anc, I_o, precision=_HI)
-    return jnp.matmul(IC, kin.S_o[..., None], precision=_HI)[..., 0]
+    """CRBA left factor F[m] = IC_dof[m] S_m where IC_dof[m] =
+    sum_b anc[b, m] I_o[b] is the composite inertia of dof m's subtree.
+    Returns (nv, 6, N)."""
+    nb, nv = model.nb, model.nv
+    n = I_o.shape[-1]
+    IC = _fold(model.anc_dof.T, I_o.reshape(nb, -1)).reshape(nv, 6, 6, n)
+    return _mv(IC, kin.S_o, n=6)
 
 
 def _mass_from_plucker(model: ArticulatedModel, kin: Kinematics, I_o):
-    """CRBA in batched world-Plücker form:
-    M[m, n] = S_m^T IC_{deeper(m, n)} S_n on ancestor-related pairs
-    (static mask), then symmetrized."""
+    """CRBA in env-last world-Plücker form: M[m, l] = S_m^T
+    IC_{deeper(m, l)} S_l on ancestor-related pairs (static mask), then
+    symmetrized. Returns (nv, nv, N) — the solver's lanes layout."""
+    nv = model.nv
     F = _mass_factors_plucker(model, kin, I_o)
-    Mraw = jnp.matmul(F, jnp.swapaxes(kin.S_o, -1, -2), precision=_HI)
-    Ml = Mraw * jnp.asarray(model.crba_mask)
-    diag = Ml * jnp.eye(model.nv)
-    return Ml + jnp.swapaxes(Ml, -1, -2) - diag
+    Ml = sum(F[:, None, k, :] * kin.S_o[None, :, k, :] for k in range(6))
+    Ml = Ml * jnp.asarray(model.crba_mask)[:, :, None]
+    diag = Ml * jnp.eye(nv)[:, :, None]
+    return Ml + jnp.swapaxes(Ml, 0, 1) - diag
 
 
 def bias_forces(model: ArticulatedModel, kin: Kinematics, I_sp,
                 params: DynParams, f_ext_world=None):
     """RNEA with qdd = 0: C(q, v) - tau_ext, including gravity (as a base
     acceleration) and optional world-frame external forces per link
-    ((.., nb, 6) [torque; force] about each link origin)."""
-    return _bias_from_plucker(model, kin, _inertia_to_plucker(kin, I_sp),
-                              params, f_ext_world)
+    ((nb, 6, N) [torque; force] about each link origin, env-last).
+    Returns env-first (N, nv) / single-env (nv,)."""
+    single = kin.p_w.ndim == 2
+    if single:
+        kin = _promote_kin(kin)
+        I_sp = I_sp[..., None]
+        params = _promote(params)
+        if f_ext_world is not None:
+            f_ext_world = f_ext_world[..., None]
+    C = _bias_from_plucker(model, kin, _inertia_to_plucker(kin, I_sp),
+                           params, f_ext_world)
+    return C[:, 0] if single else C.T
 
 
 def mass_matrix(model: ArticulatedModel, kin: Kinematics, I_sp):
-    """CRBA composite-rigid-body mass matrix (.., nv, nv)."""
-    return _mass_from_plucker(model, kin, _inertia_to_plucker(kin, I_sp))
+    """CRBA composite-rigid-body mass matrix: (nv, nv) single-env or
+    (N, nv, nv) batched."""
+    single = kin.p_w.ndim == 2
+    if single:
+        kin = _promote_kin(kin)
+        I_sp = I_sp[..., None]
+    M = _mass_from_plucker(model, kin,
+                           _inertia_to_plucker(kin, I_sp))
+    return M[..., 0] if single else jnp.moveaxis(M, -1, 0)
+
+
+def _promote_kin(kin: Kinematics) -> Kinematics:
+    return jax.tree_util.tree_map(lambda a: a[..., None], kin)
 
 
 def joint_passive_torque(model: ArticulatedModel, params: DynParams, q_dof,
                          v_dof):
     """Parallel joint springs toward 0, viscous damping handled implicitly
-    elsewhere, and smooth dry friction."""
+    elsewhere, and smooth dry friction. Layout follows the inputs."""
     tau = -params.stiffness * q_dof
     tau = tau - params.friction * jnp.tanh(v_dof / 0.05)
     return tau
@@ -311,33 +495,34 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
     the damping torque at the NEW velocity is -d (v + dt qdd), which moves
     ``dt*d`` onto the LHS and ``-d v`` into the RHS. Pass a precomputed
     ``kin`` (e.g. the one used for contact forces) to skip recomputing FK.
-    """
+    ``f_ext_world`` is env-last (nb, 6, N) for batched calls, (nb, 6) for
+    single-env ones (matching the contact functions' output)."""
     if q.ndim == 1:
         qdd, kin1 = forward_dynamics(
             model, q[None], v[None], tau[None], _promote(params),
-            None if f_ext_world is None else f_ext_world[None], dt,
-            None if kin is None else _promote(kin))
-        return qdd[0], _squeeze0(kin1)
+            None if f_ext_world is None else f_ext_world[..., None], dt,
+            None if kin is None else _promote_kin(kin))
+        return qdd[0], _squeeze_last(kin1)
     if kin is None:
         kin = forward_kinematics(model, q, v, params)
     I_o = _inertia_to_plucker(kin, _link_inertias(model, params))
-    C = _bias_from_plucker(model, kin, I_o, params, f_ext_world)
-    q_dof = dof_positions(model, q)
-    rhs = tau + joint_passive_torque(model, params, q_dof, v) - C \
-        - params.damping * v
-    # Assemble the LHS directly in the solver's lanes layout (nv, nv, N):
-    # the env axis goes to the vector lanes and never transposes back in
-    # (ops/spd_kernel.py docstring has the measurements).
-    F = _mass_factors_plucker(model, kin, I_o)
-    eye_l = jnp.eye(model.nv)[:, :, None]
-    Ml = jnp.einsum("nmk,nlk->mln", F, kin.S_o, precision=_HI) \
-        * jnp.asarray(model.crba_mask)[:, :, None]
-    M_l = Ml + jnp.transpose(Ml, (1, 0, 2)) - Ml * eye_l
-    diag_extra = params.armature + 1e-6
+    C = _bias_from_plucker(model, kin, I_o, params, f_ext_world)  # (nv, N)
+    vT = _el(v)
+    q_dofT = _el(dof_positions(model, q))
+    stiffT = _el(jnp.broadcast_to(jnp.asarray(params.stiffness),
+                                  v.shape))
+    fricT = _el(jnp.broadcast_to(jnp.asarray(params.friction), v.shape))
+    dampT = _el(jnp.broadcast_to(jnp.asarray(params.damping), v.shape))
+    armT = _el(jnp.broadcast_to(jnp.asarray(params.armature), v.shape))
+    passive = -stiffT * q_dofT - fricT * jnp.tanh(vT / 0.05)
+    rhs = _el(tau) + passive - C - dampT * vT              # (nv, N)
+    M_l = _mass_from_plucker(model, kin, I_o)              # (nv, nv, N)
+    diag_extra = armT + 1e-6
     if dt is not None:
-        diag_extra = diag_extra + dt * params.damping
-    lhs_l = M_l + eye_l * diag_extra.T[None, :, :]
-    qdd = spd_solve_lanes(lhs_l, rhs.T).T
+        diag_extra = diag_extra + dt * dampT
+    lhs = M_l + jnp.eye(model.nv)[:, :, None] * diag_extra[None, :, :]
+    # SPD solve: already in the solver's lanes layout (ops/spd_kernel.py).
+    qdd = spd_solve_lanes(lhs, rhs).T
     return qdd, kin
 
 
@@ -347,9 +532,9 @@ MAX_LIN_VEL = 100.0
 MAX_ANG_VEL = 64.0
 
 
-def _clamp_norm(vec, vmax):
-    """Rescales ``vec`` so its norm is at most ``vmax`` (direction kept)."""
-    nrm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+def _clamp_norm_rows(vec, vmax):
+    """(3, N): rescales so the norm over axis 0 is at most vmax."""
+    nrm = jnp.sqrt(jnp.sum(vec * vec, 0, keepdims=True))
     return vec * (vmax / jnp.maximum(nrm, vmax))
 
 
@@ -368,48 +553,67 @@ def integrate(model: ArticulatedModel, q, v, qdd, dt):
     -body max linear/angular velocities): under extreme DR (ultra-light
     links with strong actuators) accelerations are enormous and the
     unclamped semi-implicit update diverges to NaN within an episode."""
-    v_new = v + dt * qdd
-    q_new = q
+    if q.ndim == 1:
+        qn, vn = integrate(model, q[None], v[None], qdd[None], dt)
+        return qn[0], vn[0]
+    qT, vT, qddT = _el(q), _el(v), _el(qdd)
+    v_new = vT + dt * qddT
+    q_new = qT
     if model.j1_links.size:
-        maxv = jnp.asarray(model.j1_maxv)
-        v1 = jnp.clip(v_new[..., model.j1_v], -maxv, maxv)
-        v_new = v_new.at[..., model.j1_v].set(v1)
-        q_new = q_new.at[..., model.j1_q].set(q[..., model.j1_q] + dt * v1)
+        maxv = jnp.asarray(model.j1_maxv)[:, None]
+        v1 = jnp.clip(v_new[model.j1_v], -maxv, maxv)
+        v_new = v_new.at[model.j1_v].set(v1)
+        q_new = q_new.at[model.j1_q].set(qT[model.j1_q] + dt * v1)
     for (i, qi, vi) in model.free_list:
-        w_body = v[..., vi:vi + 3]
-        vl_body = v[..., vi + 3:vi + 6]
-        quat = q[..., qi + 3:qi + 7]
-        R = quat_to_rot(quat)
+        w_body = vT[vi:vi + 3]
+        vl_body = vT[vi + 3:vi + 6]
+        quat = qT[qi + 3:qi + 7]                          # (4, N)
+        R = _quat_to_rot_rows(quat)                       # (3, 3, N)
 
         def rot(Rm, x):
-            return jnp.matmul(Rm, x[..., None], precision=_HI)[..., 0]
+            return jnp.stack([sum(Rm[i_, k_] * x[k_] for k_ in range(3))
+                              for i_ in range(3)], 0)
         # Classical (world-frame) accelerations of the link origin: the
         # spatial qdd is the body-coords derivative of v, so add back the
         # transport terms before rotating to world.
-        aw_lin = rot(R, qdd[..., vi + 3:vi + 6] +
-                     jnp.cross(w_body, vl_body))
-        aw_ang = rot(R, qdd[..., vi:vi + 3])
-        vw = _clamp_norm(rot(R, vl_body) + dt * aw_lin, MAX_LIN_VEL)
-        ww = _clamp_norm(rot(R, w_body) + dt * aw_ang, MAX_ANG_VEL)
-        pos = q[..., qi:qi + 3] + dt * vw
-        quat_n = quat_integrate(quat, ww, dt)
-        R_nT = jnp.swapaxes(quat_to_rot(quat_n), -1, -2)
-        q_new = q_new.at[..., qi:qi + 3].set(pos)
-        q_new = q_new.at[..., qi + 3:qi + 7].set(quat_n)
-        v_new = v_new.at[..., vi:vi + 3].set(rot(R_nT, ww))
-        v_new = v_new.at[..., vi + 3:vi + 6].set(rot(R_nT, vw))
-    return q_new, v_new
+        aw_lin = rot(R, qddT[vi + 3:vi + 6] +
+                     _cross(w_body[None], vl_body[None])[0])
+        aw_ang = rot(R, qddT[vi:vi + 3])
+        vw = _clamp_norm_rows(rot(R, vl_body) + dt * aw_lin, MAX_LIN_VEL)
+        ww = _clamp_norm_rows(rot(R, w_body) + dt * aw_ang, MAX_ANG_VEL)
+        pos = qT[qi:qi + 3] + dt * vw
+        # Quaternion integration by the world angular velocity.
+        omega4 = jnp.concatenate([jnp.zeros_like(ww[:1]), ww], 0)
+        dq = 0.5 * _quat_mul_rows(omega4, quat)
+        quat_n = quat + dt * dq
+        quat_n = quat_n / (jnp.sqrt(jnp.sum(quat_n ** 2, 0,
+                                            keepdims=True)) + 1e-12)
+        R_n = _quat_to_rot_rows(quat_n)
+
+        def rotT(Rm, x):
+            return jnp.stack([sum(Rm[k_, i_] * x[k_] for k_ in range(3))
+                              for i_ in range(3)], 0)
+        q_new = q_new.at[qi:qi + 3].set(pos)
+        q_new = q_new.at[qi + 3:qi + 7].set(quat_n)
+        v_new = v_new.at[vi:vi + 3].set(rotT(R_n, ww))
+        v_new = v_new.at[vi + 3:vi + 6].set(rotT(R_n, vw))
+    return q_new.T, v_new.T
 
 
 def clamp_limits(model: ArticulatedModel, q, v, stiffness=200.0):
     """Hard-clamps 1-dof joints to their limits, zeroing inward velocity."""
     if not model.j1_links.size:
         return q, v
-    lo, hi = jnp.asarray(model.j1_lo), jnp.asarray(model.j1_hi)
-    q1 = q[..., model.j1_q]
-    v1 = v[..., model.j1_v]
+    if q.ndim == 1:
+        qn, vn = clamp_limits(model, q[None], v[None])
+        return qn[0], vn[0]
+    lo = jnp.asarray(model.j1_lo)[:, None]
+    hi = jnp.asarray(model.j1_hi)[:, None]
+    qT, vT = _el(q), _el(v)
+    q1 = qT[model.j1_q]
+    v1 = vT[model.j1_v]
     v1n = jnp.where(q1 < lo, jnp.maximum(v1, 0.0),
                     jnp.where(q1 > hi, jnp.minimum(v1, 0.0), v1))
-    q = q.at[..., model.j1_q].set(jnp.clip(q1, lo, hi))
-    v = v.at[..., model.j1_v].set(v1n)
-    return q, v
+    qT = qT.at[model.j1_q].set(jnp.clip(q1, lo, hi))
+    vT = vT.at[model.j1_v].set(v1n)
+    return qT.T, vT.T

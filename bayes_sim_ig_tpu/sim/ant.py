@@ -99,7 +99,6 @@ class Ant(Task):
     obs_dim = 29
     dt = 1.0 / 60.0
     substeps = 2
-    prefer_host_loop = True
 
     def __init__(self, cfg):
         env_cfg = cfg["env"]
@@ -217,8 +216,14 @@ class Ant(Task):
 
         # lax.scan keeps one physics graph regardless of substep count
         # (halves XLA compile time vs an unrolled python loop).
-        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
-                                 length=self.substeps)
+        # Unrolled substep loop: a nested lax.scan would add one more
+        # while-loop level, and each loop iteration carries a large fixed
+        # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
+        # substeps into the step graph is strictly cheaper.
+        carry = (state.q, state.v)
+        for _ in range(self.substeps):
+            carry, _ = substep(carry, None)
+        q, v = carry
         return AntState(q=q, v=v)
 
     def observe(self, state, params):

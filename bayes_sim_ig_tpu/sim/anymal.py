@@ -91,7 +91,6 @@ class Anymal(Task):
     act_dim = 12
     dt = 1.0 / 60.0
     substeps = 2
-    prefer_host_loop = True
     kp = 85.0
     kd = 2.0
     action_scale = 0.5
@@ -178,8 +177,14 @@ class Anymal(Task):
             q, v = clamp_limits(m, q, v)
             return (q, v), None
 
-        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
-                                 length=self.substeps)
+        # Unrolled substep loop: a nested lax.scan would add one more
+        # while-loop level, and each loop iteration carries a large fixed
+        # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
+        # substeps into the step graph is strictly cheaper.
+        carry = (state.q, state.v)
+        for _ in range(self.substeps):
+            carry, _ = substep(carry, None)
+        q, v = carry
         return AnymalState(q=q, v=v, commands=state.commands,
                            prev_actions=jnp.clip(actions, -1, 1))
 

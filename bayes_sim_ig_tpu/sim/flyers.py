@@ -49,7 +49,6 @@ class _FlyerBase(Task):
 
     dt = 1.0 / 100.0
     substeps = 2
-    prefer_host_loop = True
     gravity = -9.81
     target = np.array([0.0, 0.0, 1.0])
 
@@ -99,7 +98,9 @@ class _FlyerBase(Task):
 
         def substep(carry, _):
             q, v = carry
-            f_ext = thrust(q, actions, params)
+            # vmapped per-env thrust gives (N, nb, 6); the engine consumes
+            # env-last (nb, 6, N).
+            f_ext = jnp.moveaxis(thrust(q, actions, params), 0, -1)
             tau = jnp.zeros((q.shape[0], m.nv))
             if targets is not None:
                 tau = tau.at[:, dof_idx].set(
@@ -110,8 +111,14 @@ class _FlyerBase(Task):
             q, v = clamp_limits(m, q, v)
             return (q, v), None
 
-        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
-                                 length=self.substeps)
+        # Unrolled substep loop: a nested lax.scan would add one more
+        # while-loop level, and each loop iteration carries a large fixed
+        # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
+        # substeps into the step graph is strictly cheaper.
+        carry = (state.q, state.v)
+        for _ in range(self.substeps):
+            carry, _ = substep(carry, None)
+        q, v = carry
         return FlyerState(q=q, v=v)
 
     def _kinematics_obs(self, state):

@@ -167,7 +167,6 @@ class Humanoid(Task):
     obs_dim = 55
     dt = 1.0 / 60.0
     substeps = 2
-    prefer_host_loop = True
 
     def __init__(self, cfg):
         env_cfg = cfg["env"]
@@ -272,8 +271,14 @@ class Humanoid(Task):
             q, v = clamp_limits(m, q, v)
             return (q, v), None
 
-        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
-                                 length=self.substeps)
+        # Unrolled substep loop: a nested lax.scan would add one more
+        # while-loop level, and each loop iteration carries a large fixed
+        # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
+        # substeps into the step graph is strictly cheaper.
+        carry = (state.q, state.v)
+        for _ in range(self.substeps):
+            carry, _ = substep(carry, None)
+        q, v = carry
         return HumanoidState(q=q, v=v)
 
     def observe(self, state, params):

@@ -41,7 +41,7 @@ from ..physics import (
     ArticulatedModel, LinkSpec, Geom, DynParams,
     forward_kinematics, forward_dynamics, integrate, clamp_limits,
 )
-from ..physics.contact import sphere_plane_pair_forces
+from ..physics.contact import sphere_plane_pairs_forces
 from ..physics.spatial import quat_to_rot, quat_mul
 from .task import Task
 
@@ -203,7 +203,6 @@ class ShadowHand(Task):
     act_dim = 20
     dt = 1.0 / 60.0
     substeps = 2
-    prefer_host_loop = True
 
     def __init__(self, cfg):
         env_cfg = cfg["env"]
@@ -404,6 +403,44 @@ class ShadowHand(Task):
             kp = kp * stiff_mult[:, jnp.asarray(act_pos)]
         tip_mu, obj_mu = jax.vmap(self._contact_frictions)(params)
 
+        # --- all 38 contact pairs as ONE vectorized computation --------- #
+        # (8 cube corners vs palm plane + 5 fingertips x 6 cube faces;
+        # per-pair calls would multiply the per-step HLO ~40x).
+        n_env = actions.shape[0]
+        tip_geoms = [next(g for g in m.geoms if g.link == t)
+                     for t in self._fingertips]
+        sphere_links = [self._cube] * 8 + [t for t in self._fingertips
+                                           for _ in _FACES]
+        plane_links = [self._palm] * 8 + [self._cube] * 30
+        cube_half_env = (CUBE_HALF * s)[None, None, :]      # (1, 1, N)
+        corner_off = np.asarray(_CORNERS, np.float32)       # (8, 3)
+        sph_off = jnp.concatenate([
+            corner_off[:, :, None] * cube_half_env,
+            jnp.broadcast_to(jnp.asarray(
+                [g.offset for g in tip_geoms for _ in _FACES],
+                jnp.float32)[:, :, None], (30, 3, n_env))], 0)
+        plane_pts = jnp.concatenate([
+            jnp.broadcast_to(jnp.asarray(
+                [(0.06, 0.0, 0.012)] * 8, jnp.float32)[:, :, None],
+                (8, 3, n_env)),
+            np.asarray([pt for _ in self._fingertips
+                        for _nrm, pt in _FACES],
+                       np.float32)[:, :, None] * cube_half_env], 0)
+        plane_nrms = np.asarray(
+            [(0.0, 0.0, 1.0)] * 8
+            + [nrm for _ in self._fingertips for nrm, _pt in _FACES],
+            np.float32)
+        radii = np.asarray([0.002] * 8 + [g.size[0] for g in tip_geoms
+                                          for _ in _FACES], np.float32)
+        # mu combines the randomized tip and object shape frictions.
+        mu_pairs = jnp.concatenate([
+            jnp.ones((8, n_env)),
+            jnp.repeat(tip_mu.T * obj_mu[None, :], len(_FACES), axis=0)],
+            0)                                              # (38, N)
+        halfsizes = jnp.concatenate([
+            jnp.full((8, n_env), 0.12),
+            jnp.broadcast_to((CUBE_HALF * s)[None], (30, n_env))], 0)
+
         def substep(carry, _):
             q, v = carry
             tau = jnp.zeros((q.shape[0], m.nv)).at[:, act_v].set(
@@ -420,41 +457,24 @@ class ShadowHand(Task):
                 tau = tau.at[:, v1].add(-f_t)
                 tau = tau.at[:, v0].add(f_t)
             kin = forward_kinematics(m, q, v, dp)
-            f_ext = jnp.zeros(kin.p_w.shape[:-1] + (6,))
-            # Cube corners vs palm top plane (corner offsets scale with
-            # the randomized object scale, passed as traced arrays).
-            for corner in _CORNERS:
-                off = jnp.asarray(corner, jnp.float32) \
-                    * CUBE_HALF * s[:, None]
-                f_ext = f_ext + sphere_plane_pair_forces(
-                    m, kin, dp, sphere_link=self._cube,
-                    sphere_offset=off, radius=0.002,
-                    plane_link=self._palm, plane_point=(0.06, 0.0, 0.012),
-                    plane_normal=(0, 0, 1), mu=1.0, dt=h,
-                    plane_halfsize=0.12)
-            # Fingertips vs cube faces (mu combines the randomized tip
-            # and object shape frictions).
-            for tip_i, tip in enumerate(self._fingertips):
-                tip_geom = next(g for g in m.geoms if g.link == tip)
-                mu = tip_mu[:, tip_i] * obj_mu
-                for normal, pt in _FACES:
-                    f_tip = sphere_plane_pair_forces(
-                        m, kin, dp, sphere_link=tip,
-                        sphere_offset=tip_geom.offset,
-                        radius=tip_geom.size[0], plane_link=self._cube,
-                        plane_point=jnp.asarray(pt, jnp.float32)
-                        * CUBE_HALF * s[:, None],
-                        plane_normal=normal, mu=mu, dt=h,
-                        plane_halfsize=CUBE_HALF * s)
-                    f_ext = f_ext + f_tip
+            f_ext = sphere_plane_pairs_forces(
+                m, kin, dp, sphere_links, sph_off, radii, plane_links,
+                plane_pts, plane_nrms, mu_pairs, dt=h,
+                plane_halfsizes=halfsizes)
             qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h,
                                       kin=kin)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v), None
 
-        (q, v), _ = jax.lax.scan(substep, (state.q, state.v), None,
-                                 length=self.substeps)
+        # Unrolled substep loop: a nested lax.scan would add one more
+        # while-loop level, and each loop iteration carries a large fixed
+        # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
+        # substeps into the step graph is strictly cheaper.
+        carry = (state.q, state.v)
+        for _ in range(self.substeps):
+            carry, _ = substep(carry, None)
+        q, v = carry
         return HandState(q=q, v=v, goal_quat=state.goal_quat,
                          prev_actions=jnp.clip(actions, -1, 1),
                          gravity_dz=state.gravity_dz)

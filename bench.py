@@ -1,20 +1,34 @@
 """Headline benchmark: env steps/sec through the full collection hot path
-(policy MLP forward + physics + per-env DR resampling at resets) with 4096
-Pendulum envs on one chip.
+(policy MLP forward + physics + per-env DR resampling at resets).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / 5e6 — the BASELINE.json north-star target of
-5e6 env steps/sec (the reference publishes no numbers of its own; Isaac Gym
-reports ~100k-700k steps/s per task on an A100, BASELINE.md).
+Measurement honesty (learned the hard way on this runtime): the tunneled
+TPU's ``block_until_ready`` can return before execution completes, so
+naive timings report phantom async numbers (round 1's 53M Pendulum
+steps/s was such a number). Every timing below chains K jitted calls
+through device-side state and ends with a HOST FETCH of a scalar that
+depends on all of them; the clock stops after the fetch. That bounds the
+true throughput from below (it includes one tunnel round trip, amortized
+over K rounds).
+
+Prints the headline JSON line
+{"metric", "value", "unit", "vs_baseline"} first (vs_baseline = value /
+5e6, the BASELINE.json north-star; the reference publishes no numbers of
+its own — Isaac Gym reports ~100k-700k steps/s per task on an A100,
+BASELINE.md), then a second JSON line with the ARTICULATED hard path:
+ShadowHand (26 bodies, 30 dofs, 38 contact pairs, tendons) through the
+same collection path at 16384 envs.
 
 ``python bench.py --full`` additionally reports the other BASELINE.json
 metrics (MDNN training samples/sec; seconds per Pendulum adaptive-DR
-iteration) as extra JSON lines after the headline.
+iteration) as extra JSON lines.
 """
 
 import json
+import os
 import sys
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -23,11 +37,12 @@ NUM_ENVS = 4096
 N_STEPS = 512
 TARGET = 5.0e6
 
+HAND_ENVS = 16384
+HAND_LEN = 51  # trainTrajLen 50 + 1 (collection episode length)
 
-def main():
+
+def _pendulum_env():
     from bayes_sim_ig_tpu.sim import make_env
-    from bayes_sim_ig_tpu.sim.task import env_step
-    from bayes_sim_ig_tpu.rl import process_ppo, networks
     from bayes_sim_ig_tpu.distributions import Uniform, to_device_distr
 
     cfg = {
@@ -44,13 +59,20 @@ def main():
             }}}},
     }
     env = make_env("Pendulum", cfg)
-    task = env.task
-    spec = task.params_spec
+    spec = env.task.params_spec
     distr = to_device_distr(Uniform(spec.lows, spec.highs))
     env.set_distr(distr)
-    cfg_train = {"seed": 0, "learn": {}, "policy": {}}
-    ppo = process_ppo(env, cfg_train, logdir="/tmp/bsim_bench")
-    policy_params = ppo.train_state.params
+    return env, distr
+
+
+def bench_pendulum():
+    from bayes_sim_ig_tpu.sim.task import env_step
+    from bayes_sim_ig_tpu.rl import process_ppo, networks
+
+    env, distr = _pendulum_env()
+    task = env.task
+    ppo = process_ppo(env, {"seed": 0, "learn": {}, "policy": {}},
+                      logdir="/tmp/bsim_bench")
     activation = ppo.activation
 
     @jax.jit
@@ -69,24 +91,85 @@ def main():
 
     obs = env.reset()
     env_state = env.state
-    key = jax.random.PRNGKey(0)
-    # Warmup/compile.
-    env_state, obs, r = rollout(policy_params, env_state, obs, key)
-    jax.block_until_ready(r)
+    pparams = ppo.train_state.params
+    # Warmup/compile, with a real fetch.
+    env_state, obs, r = rollout(pparams, env_state, obs,
+                                jax.random.PRNGKey(0))
+    float(np.asarray(r))
     best = 0.0
-    for i in range(3):
+    for rep in range(2):
+        K = 3
+        acc = jnp.zeros(())
         t0 = time.perf_counter()
-        env_state, obs, r = rollout(policy_params, env_state, obs,
-                                    jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(r)
+        for i in range(K):
+            env_state, obs, r = rollout(pparams, env_state, obs,
+                                        jax.random.PRNGKey(rep * K + i + 1))
+            acc = acc + r
+        float(np.asarray(acc))  # the honest fence
         dt = time.perf_counter() - t0
-        best = max(best, NUM_ENVS * N_STEPS / dt)
+        best = max(best, K * N_STEPS * NUM_ENVS / dt)
+    return best
+
+
+def bench_shadow_hand():
+    """ShadowHand through the real collection round (reset + 50 policy
+    steps + episode extraction) at 16384 envs — the articulated hard path
+    (VERDICT round-1 item 3)."""
+    import yaml
+
+    from bayes_sim_ig_tpu.sim import make_env
+    from bayes_sim_ig_tpu.rl import process_ppo
+    from bayes_sim_ig_tpu.distributions import Uniform, to_device_distr
+    from bayes_sim_ig_tpu.utils.collect import _collect_round, policy_random
+
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bayes_sim_ig_tpu", "cfg", "shadow_hand.yaml")
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["env"]["numEnvs"] = HAND_ENVS
+    env = make_env("ShadowHand", cfg)
+    task = env.task
+    distr = to_device_distr(Uniform(task.params_spec.lows,
+                                    task.params_spec.highs))
+    env.set_distr(distr)
+    ppo = process_ppo(env, {"seed": 0, "learn": {}, "policy": {}},
+                      logdir="/tmp/bsim_bench_hand")
+
+    def run_k(k, key):
+        acc = jnp.zeros(())
+        for i in range(k):
+            key, kr = jax.random.split(key)
+            labels, states, acts, rews = _collect_round(
+                task, ppo.policy_apply, policy_random, HAND_LEN,
+                ppo.train_state.params, distr, kr)
+            acc = acc + rews.sum()
+        return float(np.asarray(acc))
+
+    run_k(1, jax.random.PRNGKey(0))  # compile + warm, fetched
+    best = 0.0
+    for rep in range(2):
+        K = 2
+        t0 = time.perf_counter()
+        run_k(K, jax.random.PRNGKey(rep + 1))
+        dt = time.perf_counter() - t0
+        best = max(best, K * (HAND_LEN - 1) * HAND_ENVS / dt)
+    return best
+
+
+def main():
+    pend = bench_pendulum()
     print(json.dumps({
         "metric": "pendulum_env_steps_per_sec_4096envs",
-        "value": round(best, 1),
-        "unit": "env steps/s",
-        "vs_baseline": round(best / TARGET, 4),
-    }))
+        "value": round(pend, 1),
+        "unit": "env steps/s (honest: host-fetched fence)",
+        "vs_baseline": round(pend / TARGET, 4),
+    }), flush=True)
+    hand = bench_shadow_hand()
+    print(json.dumps({
+        "metric": "shadowhand_env_steps_per_sec_16384envs",
+        "value": round(hand, 1),
+        "unit": "env steps/s (articulated hard path, honest)",
+        "vs_baseline": round(hand / TARGET, 4),
+    }), flush=True)
     if "--full" in sys.argv:
         bench_mdnn()
         bench_adr_iter()
@@ -95,7 +178,6 @@ def main():
 def bench_mdnn():
     """MDNN training throughput: samples/sec through the jitted scan
     (reference trains 100 updates x minibatch 100 per 1000-traj chunk)."""
-    import numpy as np
     from bayes_sim_ig_tpu.models import MDNN
 
     rs = np.random.RandomState(0)
@@ -109,28 +191,27 @@ def bench_mdnn():
     n_updates, batch = 1000, 100
     m.run_training(x, y, 10, batch)  # compile small variant first
     t0 = time.perf_counter()
-    m.run_training(x, y, n_updates, batch)
+    logs = m.run_training(x, y, n_updates, batch)
+    float(logs["train_loss"][-1])  # host values -> honest fence
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "mdnn_train_samples_per_sec",
         "value": round(n_updates * batch / dt, 1),
         "unit": "samples/s",
-    }))
+    }), flush=True)
 
 
 def bench_adr_iter():
     """One full Pendulum adaptive-DR iteration (10k rollouts + MDNN fit +
     PPO retrain + eval), warm-compiled — the BASELINE.json < 60 s target."""
-    import os
     import shutil
     import tempfile
     import yaml
 
-    from bayes_sim_ig_tpu.utils.args import init_args
     import bayes_sim_ig_tpu.bayes_sim_main as bsm
 
-    cfg_path = os.path.join(os.path.dirname(__file__), "bayes_sim_ig_tpu",
-                            "cfg", "pendulum.yaml")
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bayes_sim_ig_tpu", "cfg", "pendulum.yaml")
     cfg = yaml.safe_load(open(cfg_path))
     cfg["bayessim"]["realIters"] = 2  # iter 0 compiles, iter 1 is timed
     cfg["bayessim"]["realEvals"] = 100
@@ -153,7 +234,7 @@ def bench_adr_iter():
         "value": round(secs[-1], 1),
         "unit": "s (cold first iter: %.1f)" % secs[0],
         "vs_baseline": round(60.0 / max(secs[-1], 1e-9), 3),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
