@@ -1,30 +1,40 @@
-"""Custom TPU (Pallas) kernels for the inference hot path.
+"""Custom TPU (Pallas) kernels for the hot paths, plus their jnp
+reference implementations.
 
-The reference's only native compute dependencies are ghalton (host-side,
-replaced in distributions/halton.py) and signatory (replaced by the
-closed-form XLA formulation in summarizers/signature.py). These kernels
-cover the remaining hot ops called out in BASELINE.json: the RFF feature
-projection (matmul fused with cos/sin, models/rff.py) and the
-mixture-density log-prob reduction (models/mdnn.py loss inner loop).
+Kernel policy (measured on this environment's tunneled TPU, round 2):
+every Pallas custom call carries a large dependent-chain dispatch
+latency through the tunnel (~0.4 ms even for a trivial copy kernel), so
+inside jit-compiled training/rollout loops the FUSED JNP paths win:
 
-Each kernel has a pure-jnp reference fallback; ``use_pallas()`` gates on
-actually running on TPU so CPU tests exercise the same code paths via the
-fallbacks (or interpret mode in the kernel unit tests).
+  * MDN diagonal mixture log-prob: 100 us/update fused-jnp vs >=0.4 ms
+    extra per update with a custom call -> the old mog kernel was
+    deleted (VERDICT round-1 item 4: "wire with a measured win or
+    delete");
+  * MDRFF training with the RFF pallas projection: 124 us/update vs
+    95 us/update pure-jnp -> jnp is the default;
+  * the batched small-SPD solve (physics): the pallas kernel's pure
+    compute is ~26 us per (1024, 30, 30) batch vs ~0.59 ms for the
+    unrolled-jnp lanes solver, but the call latency erases the win
+    here (see ops/spd_kernel.py).
+
+The kernels are kept correct and tested (interpret mode on CPU) and can
+be turned on with ``BSIM_PALLAS=1`` (plus ``BSIM_SPD_PALLAS=1`` for the
+solver) for deployments with directly-attached TPUs, where custom-call
+dispatch is ~us-class and the kernel arithmetic wins.
 """
+
+import os
 
 import jax
 
 
 def use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    return (os.environ.get("BSIM_PALLAS", "0") == "1"
+            and jax.default_backend() == "tpu")
 
 
 from .rff_kernel import rff_features, rff_features_reference  # noqa: E402
-from .mog_kernel import (  # noqa: E402
-    diag_mixture_logprob, diag_mixture_logprob_reference,
-)
 from .spd_kernel import spd_solve, spd_solve_lanes  # noqa: E402
 
 __all__ = ["use_pallas", "rff_features", "rff_features_reference",
-           "diag_mixture_logprob", "diag_mixture_logprob_reference",
            "spd_solve", "spd_solve_lanes"]

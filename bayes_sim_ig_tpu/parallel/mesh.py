@@ -12,13 +12,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENV_AXIS = "env"
 
 
-def initialize_distributed(**kwargs):
-    """Multi-host init (no-op on a single host). The reference has no
-    distributed backend at all; on TPU pods this wires DCN coordination."""
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None, **kwargs):
+    """Multi-host init. The reference has no distributed backend at all;
+    on TPU pods this wires DCN coordination so a 1-D env mesh spans hosts.
+
+    With no arguments it auto-detects the cluster environment (the
+    standard ``jax.distributed.initialize()`` contract); explicit
+    arguments support manual bring-up, including the single-process form
+    (num_processes=1, process_id=0, coordinator on localhost) that the
+    test suite exercises. Returns True if initialization happened, False
+    if it was skipped (already initialized, or nothing to coordinate)."""
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id, **kwargs)
+        return True
     except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+        return False  # already initialized or no cluster env to detect
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = ENV_AXIS) -> Mesh:

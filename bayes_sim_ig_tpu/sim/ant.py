@@ -269,3 +269,44 @@ class Ant(Task):
 
     def early_termination(self, state, params):
         return state.q[:, 2] < self.termination_height
+
+    def render_obs_frame(self, obs_row, height=200, width=200):
+        """Top-down schematic from one observation row (reference surface:
+        task.get_img feeds RealSurrogate/video, collect_trajectories.py:
+        40-41,81-83): torso disc sized by height, heading arrow from the
+        base quaternion's yaw, four legs bent by their hip/ankle angles."""
+        obs = np.asarray(obs_row, np.float64)
+        z, quat = obs[0], obs[1:5]
+        dof_pos = obs[13:21]  # (hip_i, ankle_i) x 4 legs
+        img = np.full((height, width, 3), 255, np.uint8)
+        cx, cy = width // 2, height // 2
+        w, x, y_, zq = quat
+        yaw = np.arctan2(2 * (w * zq + x * y_),
+                         1 - 2 * (y_ * y_ + zq * zq))
+
+        def line(x0, y0, x1, y1, color, thick=1):
+            n = max(int(abs(x1 - x0)), int(abs(y1 - y0)), 1)
+            xs = np.linspace(x0, x1, n).astype(int)
+            ys = np.linspace(y0, y1, n).astype(int)
+            for dx in range(-thick, thick + 1):
+                for dy in range(-thick, thick + 1):
+                    img[np.clip(ys + dy, 0, height - 1),
+                        np.clip(xs + dx, 0, width - 1)] = color
+
+        r = max(6, int(0.10 * width * np.clip(z / START_Z, 0.2, 1.5)))
+        yy, xx = np.ogrid[:height, :width]
+        img[(xx - cx) ** 2 + (yy - cy) ** 2 <= r * r] = (150, 111, 214)
+        for leg_i, (d, _) in enumerate(zip(LEG_DIRS, LEG_NAMES)):
+            base = yaw + np.arctan2(d[1], d[0]) + dof_pos[2 * leg_i]
+            bend = dof_pos[2 * leg_i + 1]
+            ux, uy = np.cos(base), np.sin(base)
+            kx = cx + int((r + 0.12 * width) * ux)
+            ky = cy - int((r + 0.12 * width) * uy)
+            line(cx + int(r * ux), cy - int(r * uy), kx, ky,
+                 (80, 80, 80), 1)
+            fx = kx + int(0.10 * width * np.cos(base + bend))
+            fy = ky - int(0.10 * width * np.sin(base + bend))
+            line(kx, ky, fx, fy, (40, 40, 40), 1)
+        line(cx, cy, cx + int(1.6 * r * np.cos(yaw)),
+             cy - int(1.6 * r * np.sin(yaw)), (204, 77, 77), 1)
+        return img

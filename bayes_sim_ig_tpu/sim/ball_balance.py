@@ -255,3 +255,38 @@ class BallBalance(Task):
 
     def early_termination(self, state, params):
         return self._fallen(state)
+
+    def render_obs_frame(self, obs_row, height=200, width=200):
+        """Top-down schematic from one observation row (reference surface:
+        task.get_img feeds RealSurrogate/video): tray disc, the ball at
+        its tray-frame offset, and a tilt arrow from the tray up-vector's
+        horizontal components."""
+        obs = np.asarray(obs_row, np.float64)
+        rel = obs[0:3]          # ball rel tray center, tray frame
+        tray_up = obs[6:9]
+        img = np.full((height, width, 3), 255, np.uint8)
+        cx, cy = width // 2, height // 2
+        r_tray = int(0.42 * min(height, width))
+        yy, xx = np.ogrid[:height, :width]
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        img[d2 <= r_tray * r_tray] = (229, 229, 229)
+        ring = (d2 <= r_tray * r_tray) & (d2 >= (r_tray - 2) ** 2)
+        img[ring] = (120, 120, 120)
+        # Tilt arrow: where the tray normal leans.
+        tx = cx + int(3.0 * r_tray * tray_up[0])
+        ty = cy - int(3.0 * r_tray * tray_up[1])
+        n = max(abs(tx - cx), abs(ty - cy), 1)
+        xs = np.linspace(cx, tx, n).astype(int)
+        ys = np.linspace(cy, ty, n).astype(int)
+        img[np.clip(ys, 0, height - 1), np.clip(xs, 0, width - 1)] = \
+            (77, 121, 204)
+        # Ball: position scaled by the tray radius, green when centered,
+        # red toward the rim.
+        bx = cx + int(r_tray * np.clip(rel[0] / TRAY_R, -1.2, 1.2))
+        by = cy - int(r_tray * np.clip(rel[1] / TRAY_R, -1.2, 1.2))
+        frac = float(np.clip(np.hypot(rel[0], rel[1]) / TRAY_R, 0, 1))
+        color = (int(60 + 160 * frac), int(170 - 120 * frac), 60)
+        rb = max(4, int(r_tray * BALL_R / TRAY_R))
+        mask = (xx - bx) ** 2 + (yy - by) ** 2 <= rb * rb
+        img[mask] = color
+        return img

@@ -288,3 +288,14 @@ class VecEnv:
             self.task, self._distr, self.state, actions,
             self.max_episode_length)
         return obs, rew, done, {}
+
+    def get_state(self):
+        """Privileged full state for asymmetric actor-critic policies —
+        the reference surface ``ppo.vec_env.get_state()`` passed to
+        ``actor_critic.act(obs, states)`` when the critic sees more than
+        the actor (collect_trajectories.py:47-50; no reference config
+        exercises it). Returns the per-env task state flattened to
+        (num_envs, state_dim)."""
+        leaves = jax.tree_util.tree_leaves(self.state.task_state)
+        n = self.num_envs
+        return jnp.concatenate([l.reshape(n, -1) for l in leaves], axis=1)

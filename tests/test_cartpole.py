@@ -4,6 +4,7 @@ dynamics sanity, termination, and rough energy behavior."""
 import os
 
 import numpy as np
+import pytest
 import yaml
 
 import jax.numpy as jnp
@@ -60,6 +61,7 @@ def test_unforced_pole_falls_and_terminates():
     assert terminated, "pole never fell without control"
 
 
+@pytest.mark.heavy
 def test_heavy_damping_slows_cart():
     # Same force, higher slider damping -> smaller cart displacement.
     dims = 13

@@ -26,6 +26,15 @@ def _make_ppo(num_envs=16, episode_len=20):
 
 
 class TestCollect:
+    def test_get_state_surface(self):
+        # Asymmetric actor-critic privileged-state surface
+        # (collect_trajectories.py:47-50): flattened per-env task state.
+        ppo = _make_ppo(num_envs=4)
+        ppo.vec_env.reset()
+        st = ppo.vec_env.get_state()
+        assert st.shape[0] == 4 and st.ndim == 2
+        assert np.isfinite(np.asarray(st)).all()
+
     def test_shapes_and_counts(self):
         ppo = _make_ppo(num_envs=16)
         params, states, acts, rews, imgs = collect_trajectories(

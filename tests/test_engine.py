@@ -84,6 +84,28 @@ def test_posterior_concentrates_on_true_params(model_class, summarizer,
     assert nll < far, f"posterior prefers a far point: {nll} vs {far}"
 
 
+@pytest.mark.heavy
+def test_posterior_gate_distributional():
+    """Median-over-3-seeds form of the MDNN golden-fixture gate (VERDICT
+    round-1 weak item 6): the pinned-seed gate above is calibrated but
+    one op-reorder away from reshuffling which seed lands where; the
+    median across seeds is stable against that while still failing hard
+    on real regressions (a broken loss or denormalization pushes every
+    seed's NLL far above the bound)."""
+    _, real_states, real_actions = load_pendulum_data(
+        "pendulum_true_data_ones_policy_rnd.npz")
+    nlls = []
+    for seed in (0, 1, 2):
+        bsim = _run_bsim("MDNN", "summary_start", seed=seed)
+        posterior = bsim.predict(real_states, real_actions)
+        nlls.append(float(-posterior.eval(TRUE_PARAMS.reshape(1, -1),
+                                          log=True)[0]))
+    # Seeds 0-4 measured span [-0.34, 2.11]; the uniform prior sits at
+    # 1.38 and a broken model lands >> 5.
+    assert np.median(nlls) < 2.2, nlls
+
+
+@pytest.mark.heavy
 def test_multi_trajectory_posterior_combination():
     # Duplicated real trajectory triggers the resample-and-refit path
     # (bayes_sim.py:148-179, regression_tests.py:80-86).

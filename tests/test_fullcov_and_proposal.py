@@ -36,6 +36,7 @@ def test_full_covariance_predict_density_integrates():
     assert np.isfinite(lp).all()
 
 
+@pytest.mark.heavy
 def test_full_covariance_training_runs_and_improves():
     rs = np.random.RandomState(1)
     x = rs.rand(600, 4).astype(np.float32)

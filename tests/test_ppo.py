@@ -22,6 +22,7 @@ def _fixed_param_env(num_envs=64, episode_len=100):
     return env
 
 
+@pytest.mark.heavy
 def test_ppo_learns_pendulum(tmp_path):
     env = _fixed_param_env()
     cfg_train = {"seed": 0, "learn": {
@@ -52,6 +53,7 @@ def test_ppo_learns_pendulum(tmp_path):
     assert ppo.current_learning_iteration == 60
 
 
+@pytest.mark.heavy
 def test_save_load_roundtrip(tmp_path):
     env = _fixed_param_env(num_envs=8, episode_len=20)
     cfg_train = {"seed": 0, "learn": {"nsteps": 4, "noptepochs": 1,
@@ -73,6 +75,7 @@ def test_save_load_roundtrip(tmp_path):
     assert ppo2.current_learning_iteration == 2
 
 
+@pytest.mark.heavy
 def test_counter_continuation(tmp_path):
     """ftuneRL mode continues the iteration counter (bayes_sim_main.py:
     118-122)."""
@@ -116,6 +119,7 @@ def test_gae_matches_numpy_reference():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_ppo_reinit_fresh_policy_same_programs():
     """reinit re-draws the policy and resets the iteration counter while
     keeping shapes — the ADR loop's per-iteration RL restart path."""

@@ -5,6 +5,8 @@ inference depends on)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 import jax
 import jax.numpy as jnp
 

@@ -34,7 +34,9 @@ def test_all_reference_tasks_registered():
 
 
 @pytest.mark.parametrize("task_name", ALL_TASKS)
-def test_spec_matches_realparams_and_steps_finite(task_name):
+def test_spec_matches_realparams(task_name):
+    """Construction-only (no jit): every task builds from its package
+    config with a param spec dimension-compatible with realParams."""
     cfg = load_cfg(task_name)
     env = make_env(task_name, cfg)
     spec = env.task.params_spec
@@ -45,6 +47,12 @@ def test_spec_matches_realparams_and_steps_finite(task_name):
             f"{task_name}: realParams dim {len(real_means)} != spec " \
             f"{spec.dim} ({spec.names})"
     assert (spec.lows < spec.highs).all()
+
+
+def _steps_finite(task_name):
+    cfg = load_cfg(task_name)
+    env = make_env(task_name, cfg)
+    spec = env.task.params_spec
     env.set_distr(to_device_distr(Uniform(spec.lows, spec.highs)))
     obs = env.reset()
     assert obs.shape == (4, env.task.obs_dim)
@@ -55,6 +63,22 @@ def test_spec_matches_realparams_and_steps_finite(task_name):
         obs, rew, done, _ = env.step(act)
     assert np.isfinite(np.asarray(obs)).all(), f"{task_name} obs blew up"
     assert np.isfinite(np.asarray(rew)).all()
+
+
+# Fast default profile steps the cheap-compiling tasks; the expensive
+# compiles (20-30 s each on CPU) run in the full (heavy) suite.
+@pytest.mark.parametrize("task_name", ["Pendulum", "Cartpole", "Ant",
+                                       "Anymal"])
+def test_steps_finite(task_name):
+    _steps_finite(task_name)
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize("task_name", ["BallBalance", "FrankaCabinet",
+                                       "Humanoid", "Ingenuity",
+                                       "Quadcopter", "ShadowHand"])
+def test_steps_finite_heavy(task_name):
+    _steps_finite(task_name)
 
 
 @pytest.mark.parametrize("task_name", ["Ant", "ShadowHand"])
@@ -81,6 +105,7 @@ def test_flat_sample_consumed_fully(task_name):
         f"{set(range(t.params_spec.dim)) - bound}"
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("task_name", ["Cartpole", "Ant"])
 def test_whole_actor_scale_dr(task_name):
     # Reference apply_randomizations.py:174-189 applies 'scale' DR to any
@@ -114,6 +139,23 @@ def test_whole_actor_scale_dr(task_name):
                              corner[scale_dim]).max()) < 1e-5
 
 
+@pytest.mark.parametrize("task_name", ["Pendulum", "Cartpole", "Ant",
+                                       "BallBalance"])
+def test_render_obs_frame(task_name):
+    # RealSurrogate/video surface (reference collect_trajectories.py:
+    # 40-41,81-83): tasks with renderers must produce valid uint8 frames
+    # from an observation row.
+    cfg = load_cfg(task_name, num_envs=2)
+    env = make_env(task_name, cfg)
+    spec = env.task.params_spec
+    env.set_distr(to_device_distr(Uniform(spec.lows, spec.highs)))
+    obs = env.reset()
+    frame = env.task.render_obs_frame(np.asarray(obs[0]))
+    assert frame.shape[2] == 3 and frame.dtype == np.uint8
+    assert frame.min() >= 0 and (frame < 255).any()
+
+
+@pytest.mark.heavy
 @pytest.mark.parametrize("task_name", ALL_TASKS)
 def test_corner_params_stay_finite(task_name):
     # The worst DR corner (all lows: ultra-light links, weakest gains) is
