@@ -356,6 +356,47 @@ def _link_inertias(model: ArticulatedModel, params: DynParams):
     return out[..., 0] if single else out
 
 
+def _hat_rows(c):
+    """(.., 3, N) -> (.., 3, 3, N) skew matrices (env-last)."""
+    cx, cy, cz = c[..., 0, :], c[..., 1, :], c[..., 2, :]
+    zero = jnp.zeros_like(cx)
+    return jnp.stack([jnp.stack([zero, -cz, cy], -2),
+                      jnp.stack([cz, zero, -cx], -2),
+                      jnp.stack([-cy, cx, zero], -2)], -3)
+
+
+def _plucker_inertia_direct(kin: Kinematics, params: DynParams):
+    """(nb, 6, 6, N) spatial inertias about the reference point o, built
+    DIRECTLY from world quantities: for COM position c = p_w + R com - o
+    and world rotational inertia I_c = R diag(inertia s^2) R^T,
+
+        I_o = [[I_c + m c^ c^T, m c^], [m c^T, m 1]].
+
+    Identical to _inertia_to_plucker(_link_inertias(...)) (the spatial
+    inertia of a rigid body about any frame depends only on mass, COM
+    offset and COM inertia in that frame's coordinates) but needs only
+    3x3 contractions instead of two 6x6 congruence matmuls per link —
+    the hot path's single largest op-count/bandwidth sink."""
+    R = kin.R_w                                            # (nb, 3, 3, N)
+    n = R.shape[-1]
+    nb = R.shape[0]
+    s = jnp.broadcast_to(jnp.asarray(params.scale), (n,))
+    com_l = jnp.moveaxis(jnp.asarray(params.com), 0, -1) * s  # (nb, 3, N)
+    c = kin.p_w + _mv(R, com_l) - kin.o[None]              # world COM - o
+    diag = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1) * s ** 2
+    m = jnp.asarray(params.mass).T[:, None, None, :]       # (nb, 1, 1, N)
+    # I_c = R diag R^T, unrolled over the contraction index.
+    RIcR = jnp.stack([jnp.stack([
+        sum(R[:, i, k] * diag[:, k] * R[:, j, k] for k in range(3))
+        for j in range(3)], 1) for i in range(3)], 1)
+    ch = _hat_rows(c)
+    tl = RIcR + m * _mm(ch, jnp.swapaxes(ch, 1, 2))
+    eye3 = jnp.broadcast_to(jnp.eye(3)[None, :, :, None], (nb, 3, 3, n))
+    top = jnp.concatenate([tl, m * ch], 2)
+    bot = jnp.concatenate([m * jnp.swapaxes(ch, 1, 2), m * eye3], 2)
+    return jnp.concatenate([top, bot], 1)
+
+
 def _inertia_to_plucker(kin: Kinematics, I_sp):
     """Re-expresses body-frame spatial inertias (at link origins) in the
     shared world-Plücker frame about o: I_o = X^{-T} I X^{-1} with
@@ -505,7 +546,7 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
         return qdd[0], _squeeze_last(kin1)
     if kin is None:
         kin = forward_kinematics(model, q, v, params)
-    I_o = _inertia_to_plucker(kin, _link_inertias(model, params))
+    I_o = _plucker_inertia_direct(kin, params)
     C = _bias_from_plucker(model, kin, I_o, params, f_ext_world)  # (nv, N)
     vT = _el(v)
     q_dofT = _el(dof_positions(model, q))

@@ -146,6 +146,40 @@ class TestDynamicsOracles:
         assert energy(q1, v1) <= energy(q, v) + 0.01
 
 
+class TestPluckerInertia:
+    def test_direct_equals_transform(self):
+        # The hot path builds spatial inertias about o directly from
+        # world COM/rotation (_plucker_inertia_direct); it must equal the
+        # body-frame build + congruence transform on valid states.
+        from bayes_sim_ig_tpu.physics.dynamics import (
+            forward_kinematics, _link_inertias, _inertia_to_plucker,
+            _plucker_inertia_direct, _promote)
+        dbl = ArticulatedModel([
+            LinkSpec("base", parent=-1, joint_type="free", mass=2.0,
+                     com=(0.1, -0.05, 0.2), inertia=(0.03, 0.02, 0.05)),
+            LinkSpec("arm", parent=0, joint_type="revolute",
+                     joint_axis=(0, 1, 0), joint_pos=(0.3, 0.0, 0.1),
+                     mass=0.7, com=(0.2, 0, 0),
+                     inertia=(0.01, 0.02, 0.02))], fixed_base=False)
+        params = DynParams.defaults(dbl)._replace(
+            scale=jnp.asarray(1.3))
+        q = jnp.asarray(dbl.neutral_q(), jnp.float32)
+        from bayes_sim_ig_tpu.physics.spatial import quat_from_axis_angle
+        quat = quat_from_axis_angle(
+            jnp.array([0.26726124, 0.53452248, 0.80178373]),
+            jnp.asarray(1.1))
+        q = q.at[0:3].set(jnp.array([0.4, -0.2, 0.9]))
+        q = q.at[3:7].set(quat).at[7].set(0.7)
+        kin = forward_kinematics(dbl, q[None],
+                                 jnp.zeros((1, dbl.nv)),
+                                 _promote(params))
+        I1 = _inertia_to_plucker(
+            kin, _link_inertias(dbl, _promote(params)))
+        I2 = _plucker_inertia_direct(kin, _promote(params))
+        np.testing.assert_allclose(np.asarray(I2), np.asarray(I1),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestContacts:
     def test_ball_settles_at_analytic_rest_depth(self):
         ball = _ball()

@@ -81,6 +81,32 @@ def test_steps_finite_heavy(task_name):
     _steps_finite(task_name)
 
 
+@pytest.mark.heavy
+@pytest.mark.parametrize("task_name,cfg_file,expect_dims", [
+    ("Cartpole", "cartpole_more.yaml", 13),
+    ("ShadowHand", "shadow_hand_more.yaml", 111),
+])
+def test_more_config_variants(task_name, cfg_file, expect_dims):
+    """The '_more' full-DR sweeps (reference cfg/cartpole_more.yaml /
+    cfg/shadow_hand_more.yaml) build with their full flat-param layout
+    and step finitely under full-range DR."""
+    with open(os.path.join(CFG_DIR, cfg_file)) as f:
+        cfg = yaml.safe_load(f)
+    cfg["env"]["numEnvs"] = 4
+    env = make_env(task_name, cfg)
+    spec = env.task.params_spec
+    assert spec.dim == expect_dims, spec.names
+    env.set_distr(to_device_distr(Uniform(spec.lows, spec.highs)))
+    obs = env.reset()
+    rs = np.random.RandomState(0)
+    for _ in range(3):
+        act = jnp.asarray(rs.uniform(-1, 1, (4, env.task.act_dim)),
+                          jnp.float32)
+        obs, rew, done, _ = env.step(act)
+    assert np.isfinite(np.asarray(obs)).all()
+    assert np.isfinite(np.asarray(rew)).all()
+
+
 @pytest.mark.parametrize("task_name", ["Ant", "ShadowHand"])
 def test_flat_sample_consumed_fully(task_name):
     # The walk order invariant: every dim of the flat sample must bind to
