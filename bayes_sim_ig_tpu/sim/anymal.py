@@ -128,12 +128,17 @@ class Anymal(Task):
         self._mass_dims = self.params_spec.indices_of(
             "rigid_body_properties", "mass")
         self.setup_noise(cfg["task"]["randomization_params"])
+        # Whole-actor geometry scale DR (apply_randomizations.py:174-189).
+        self._scale_dims = self.params_spec.indices_of("scale", "")
 
     def _dyn_params(self, params_row) -> DynParams:
         base = DynParams.defaults(self.model)
         mass = base.mass * params_row[jnp.asarray(self._mass_dims)]
         inertia = base.inertia * (mass / base.mass)[:, None]
-        return base._replace(mass=mass, inertia=inertia)
+        scale = base.scale
+        if self._scale_dims:
+            scale = params_row[self._scale_dims[0]]
+        return base._replace(mass=mass, inertia=inertia, scale=scale)
 
     def init_state(self, key, params):
         n = params.shape[0]

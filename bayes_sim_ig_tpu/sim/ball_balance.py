@@ -137,6 +137,8 @@ class BallBalance(Task):
             i for i, k in enumerate(self.params_spec.keys)
             if k[0] == "bbot" and k[3] == "friction"]
         self.setup_noise(cfg["task"]["randomization_params"])
+        # Whole-actor geometry scale DR (apply_randomizations.py:174-189).
+        self._scale_dims = self.params_spec.indices_of("scale", "")
 
     # ------------------------------------------------------------------ #
     def _dyn_params(self, params_row) -> DynParams:
@@ -151,7 +153,11 @@ class BallBalance(Task):
         if self._fric_dims:
             friction = base.friction.at[jnp.asarray(self._leg_v_idx)].add(
                 params_row[jnp.asarray(self._fric_dims)])
-        return base._replace(mass=mass, inertia=inertia, friction=friction)
+        scale = base.scale
+        if self._scale_dims:
+            scale = params_row[self._scale_dims[0]]
+        return base._replace(mass=mass, inertia=inertia, friction=friction,
+                             scale=scale)
 
     def init_state(self, key, params):
         n = params.shape[0]

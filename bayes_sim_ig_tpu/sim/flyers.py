@@ -62,8 +62,11 @@ class _FlyerBase(Task):
             stiffness = base.stiffness.at[
                 jnp.asarray(self._dof_v_idx)].add(
                 params_row[jnp.asarray(self._stiff_dims)])
+        scale = base.scale
+        if self._scale_dims:
+            scale = params_row[self._scale_dims[0]]
         return base._replace(mass=mass, inertia=inertia,
-                             stiffness=stiffness)
+                             stiffness=stiffness, scale=scale)
 
     def init_state(self, key, params):
         n = params.shape[0]
@@ -200,6 +203,8 @@ class Ingenuity(_FlyerBase):
         self._dof_links = [i for i in range(m.nb)
                            if m.joint_types[i] == "revolute"]
         self.setup_noise(cfg["task"]["randomization_params"])
+        # Whole-actor geometry scale DR (apply_randomizations.py:174-189).
+        self._scale_dims = self.params_spec.indices_of("scale", "")
 
     def _thrust_forces(self, q, actions, params_row):
         m = self.model
@@ -289,6 +294,8 @@ class Quadcopter(_FlyerBase):
                              and not m.body_names[i].startswith(
                                  "rotor_arm")]
         self.setup_noise(cfg["task"]["randomization_params"])
+        # Whole-actor geometry scale DR (apply_randomizations.py:174-189).
+        self._scale_dims = self.params_spec.indices_of("scale", "")
 
     def _joint_targets(self, actions):
         # First 8 actions: PD targets for all 8 dofs (arm tilts get the

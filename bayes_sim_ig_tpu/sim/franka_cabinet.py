@@ -159,6 +159,8 @@ class FrankaCabinet(Task):
         self._franka_links = np.array(
             [m.link_index[b] for b in FRANKA_BODIES])
         self.setup_noise(cfg["task"]["randomization_params"])
+        # Whole-actor geometry scale DR (apply_randomizations.py:174-189).
+        self._scale_dims = self.params_spec.indices_of("scale", "")
 
     def _dyn_params(self, params_row) -> DynParams:
         base = DynParams.defaults(self.model)
@@ -167,7 +169,10 @@ class FrankaCabinet(Task):
             mult = params_row[jnp.asarray(self._mass_dims)]
             mass = base.mass.at[jnp.asarray(self._franka_links)].mul(mult)
         inertia = base.inertia * (mass / base.mass)[:, None]
-        return base._replace(mass=mass, inertia=inertia)
+        scale = base.scale
+        if self._scale_dims:
+            scale = params_row[self._scale_dims[0]]
+        return base._replace(mass=mass, inertia=inertia, scale=scale)
 
     def _pd_gains(self, params_row):
         kp0 = jnp.asarray([ARM_KP] * 7 + [FINGER_KP] * 2)

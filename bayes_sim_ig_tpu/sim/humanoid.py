@@ -222,6 +222,8 @@ class Humanoid(Task):
             "dof_properties", "stiffness")
         self._real_links = np.array([m.link_index[b] for b in REAL_BODIES])
         self.setup_noise(cfg["task"]["randomization_params"])
+        # Whole-actor geometry scale DR (apply_randomizations.py:174-189).
+        self._scale_dims = self.params_spec.indices_of("scale", "")
 
     def _dyn_params(self, params_row) -> DynParams:
         m = self.model
@@ -236,8 +238,11 @@ class Humanoid(Task):
             # Scaling operation: default (1.0) x sampled multiplier.
             stiffness = base.stiffness.at[jnp.asarray(self._act_v_idx)].set(
                 1.0 * params_row[jnp.asarray(self._stiff_dims)])
+        scale = base.scale
+        if self._scale_dims:
+            scale = params_row[self._scale_dims[0]]
         return base._replace(mass=mass, inertia=inertia,
-                             stiffness=stiffness)
+                             stiffness=stiffness, scale=scale)
 
     def init_state(self, key, params):
         n = params.shape[0]

@@ -132,7 +132,8 @@ def test_flat_sample_consumed_fully(task_name):
 
 
 @pytest.mark.heavy
-@pytest.mark.parametrize("task_name", ["Cartpole", "Ant"])
+@pytest.mark.parametrize("task_name", ["Cartpole", "Ant", "Anymal",
+                                       "Quadcopter"])
 def test_whole_actor_scale_dr(task_name):
     # Reference apply_randomizations.py:174-189 applies 'scale' DR to any
     # actor. Adding a scale subtree to a task config must produce a spec
