@@ -181,6 +181,58 @@ class TestPluckerInertia:
 
 
 class TestContacts:
+    def test_batched_pairs_equal_single_pairs(self):
+        # sphere_plane_pairs_forces (one vectorized computation, the
+        # ShadowHand hot path) must equal the sum of per-pair
+        # sphere_plane_pair_forces calls.
+        from bayes_sim_ig_tpu.physics.contact import (
+            sphere_plane_pair_forces, sphere_plane_pairs_forces)
+        from bayes_sim_ig_tpu.physics.dynamics import (
+            forward_kinematics, _promote)
+        model = ArticulatedModel([
+            LinkSpec("tray", parent=-1, joint_type="free", mass=2.0,
+                     inertia=(0.02,) * 3),
+            LinkSpec("ball", parent=-1, joint_type="free", mass=0.5,
+                     inertia=(0.002,) * 3)], fixed_base=False)
+        params = DynParams.defaults(model)
+        n = 3
+        rs = np.random.RandomState(0)
+        q = np.tile(model.neutral_q(), (n, 1)).astype(np.float32)
+        q[:, 2] = 0.5
+        q[:, 7:10] = rs.uniform(-0.05, 0.05, (n, 3)) + [0, 0, 0.62]
+        v = jnp.asarray(rs.randn(n, model.nv).astype(np.float32) * 0.3)
+        paramsb = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                       (n,) + jnp.asarray(a).shape),
+            params)
+        kin = forward_kinematics(model, jnp.asarray(q), v, paramsb)
+        pairs = [  # (offset, radius, point, normal, mu, halfsize)
+            ((0.0, 0.0, 0.0), 0.1, (0.0, 0.0, 0.02), (0, 0, 1), 1.0, 0.5),
+            ((0.05, 0.0, 0.0), 0.08, (0.0, 0.0, 0.02), (0, 0, 1), 0.7,
+             0.5),
+            ((0.0, 0.0, -0.09), 0.02, (0.1, 0.0, 0.0), (1, 0, 0), 1.2,
+             0.3),
+        ]
+        total = 0.0
+        for off, r, pt, nrm, mu, hs in pairs:
+            total = total + sphere_plane_pair_forces(
+                model, kin, paramsb, sphere_link=1, sphere_offset=off,
+                radius=r, plane_link=0, plane_point=pt, plane_normal=nrm,
+                mu=mu, dt=1 / 120.0, plane_halfsize=hs)
+        batched = sphere_plane_pairs_forces(
+            model, kin, paramsb,
+            sphere_links=[1, 1, 1],
+            sphere_offsets=np.asarray([p[0] for p in pairs]),
+            radii=np.asarray([p[1] for p in pairs]),
+            plane_links=[0, 0, 0],
+            plane_points=np.asarray([p[2] for p in pairs]),
+            plane_normals=np.asarray([p[3] for p in pairs]),
+            mu=np.asarray([p[4] for p in pairs]), dt=1 / 120.0,
+            plane_halfsizes=np.asarray([p[5] for p in pairs]))
+        assert float(jnp.abs(total).max()) > 0.0, "no active contact"
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(total),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_ball_settles_at_analytic_rest_depth(self):
         ball = _ball()
         params = DynParams.defaults(ball)
