@@ -146,6 +146,67 @@ class TestDynamicsOracles:
         assert energy(q1, v1) <= energy(q, v) + 0.01
 
 
+class TestForwardKinematicsOracle:
+    def test_three_link_chain_world_poses(self):
+        # Independent closed-form check: planar z-revolute + y-revolute +
+        # x-prismatic chain, world positions computed by hand trig.
+        chain = ArticulatedModel([
+            LinkSpec("l1", parent=-1, joint_type="revolute",
+                     joint_axis=(0, 0, 1)),
+            LinkSpec("l2", parent=0, joint_type="revolute",
+                     joint_axis=(0, 1, 0), joint_pos=(0.5, 0.0, 0.0)),
+            LinkSpec("l3", parent=1, joint_type="prismatic",
+                     joint_axis=(1, 0, 0), joint_pos=(0.4, 0.0, 0.0))])
+        from bayes_sim_ig_tpu.physics.dynamics import forward_kinematics
+        th1, th2, d3 = 0.7, -0.4, 0.25
+        params = DynParams.defaults(chain)
+        kin = forward_kinematics(chain, jnp.array([th1, th2, d3]),
+                                 jnp.zeros(3), params)
+        c1, s1 = np.cos(th1), np.sin(th1)
+        c2, s2 = np.cos(th2), np.sin(th2)
+        # l2 origin: rotate (0.5, 0, 0) by th1 about z.
+        np.testing.assert_allclose(np.asarray(kin.p_w[1]),
+                                   [0.5 * c1, 0.5 * s1, 0.0], atol=1e-6)
+        # l3 origin: l2 origin + R1 R2 ((0.4, 0, 0) + d3 x^).
+        arm = np.array([(0.4 + d3) * c2, 0.0, -(0.4 + d3) * s2])
+        Rz = np.array([[c1, -s1, 0], [s1, c1, 0], [0, 0, 1]])
+        np.testing.assert_allclose(
+            np.asarray(kin.p_w[2]),
+            np.asarray(kin.p_w[1]) + Rz @ arm, atol=1e-6)
+        # l3 world rotation = Rz(th1) @ Ry(th2) (prismatic adds none).
+        Ry = np.array([[c2, 0, s2], [0, 1, 0], [-s2, 0, c2]])
+        np.testing.assert_allclose(np.asarray(kin.R_w[2]), Rz @ Ry,
+                                   atol=1e-6)
+        # Geometry scale multiplies the fixed link offsets.
+        kin_s = forward_kinematics(
+            chain, jnp.array([th1, th2, d3]), jnp.zeros(3),
+            params._replace(scale=jnp.asarray(2.0)))
+        np.testing.assert_allclose(np.asarray(kin_s.p_w[1]),
+                                   [1.0 * c1, 1.0 * s1, 0.0], atol=1e-6)
+
+    def test_world_velocities_match_finite_differences(self):
+        # kin.v (body [w; vl] at link origins) against numeric d(pose)/dt.
+        from bayes_sim_ig_tpu.physics.dynamics import forward_kinematics
+        chain = ArticulatedModel([
+            LinkSpec("l1", parent=-1, joint_type="revolute",
+                     joint_axis=(0, 0, 1)),
+            LinkSpec("l2", parent=0, joint_type="revolute",
+                     joint_axis=(0, 1, 0), joint_pos=(0.5, 0.0, 0.0))])
+        params = DynParams.defaults(chain)
+        q = jnp.array([0.3, 0.9])
+        qd = jnp.array([1.3, -0.7])
+        eps = 1e-4
+        kin = forward_kinematics(chain, q, qd, params)
+        k0 = forward_kinematics(chain, q - eps * qd, jnp.zeros(2), params)
+        k1 = forward_kinematics(chain, q + eps * qd, jnp.zeros(2), params)
+        for i in range(2):
+            vl_world = (np.asarray(k1.p_w[i]) - np.asarray(k0.p_w[i])) \
+                / (2 * eps)
+            vl_body = np.asarray(kin.R_w[i]).T @ vl_world
+            np.testing.assert_allclose(np.asarray(kin.v[i][3:]), vl_body,
+                                       atol=1e-3)
+
+
 class TestPluckerInertia:
     def test_direct_equals_transform(self):
         # The hot path builds spatial inertias about o directly from
