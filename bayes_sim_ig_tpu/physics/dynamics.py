@@ -26,8 +26,10 @@ measurement on the target chip:
     reference point (the first root's position), where the tree structure
     enters only through those static 0/1 masks; the reference point keeps
     float32 moment arms bounded when locomoting bodies wander;
-  * FK is level-batched: links at equal tree depth propagate together, so
-    the only sequential dependency is the tree depth (<= ~7);
+  * FK composes transforms by POINTER JUMPING (parallel prefix over the
+    tree): ceil(log2(depth+1)) rounds of one-hot-gather + unrolled
+    compose instead of `depth` sequential levels — Humanoid's
+    phantom-link chains give depth 10, which collapses to 4 rounds;
   * the (M + ...) qdd = rhs solve feeds ops/spd_kernel.py's lanes-layout
     column Cholesky DIRECTLY (the lhs is assembled as (nv, nv, N)):
     XLA's cholesky/triangular_solve custom calls cost 4.4-56 ms per
@@ -187,16 +189,22 @@ def _structure(model: ArticulatedModel):
         return s
     nb, nv = model.nb, model.nv
     nj = model.j1_links.size
-    # Level propagation: per level, gather parents and scatter results.
-    lvl_gather = []   # (l, nb + 1) one-hot of parent rows
-    lvl_scatter = []  # (nb + 1, l) one-hot of destination rows
-    for lvl in model.levels:
-        g = np.zeros((len(lvl), nb + 1), np.float32)
-        g[np.arange(len(lvl)), model.parent_pad[lvl]] = 1.0
-        sc = np.zeros((nb + 1, len(lvl)), np.float32)
-        sc[lvl, np.arange(len(lvl))] = 1.0
-        lvl_gather.append(g)
-        lvl_scatter.append(sc)
+    # Pointer-jumping FK: after round k every link's accumulated
+    # transform covers 2^k ancestors, so the tree composes in
+    # ceil(log2(depth+1)) rounds instead of `depth` sequential levels
+    # (Humanoid's phantom chains make depth 10; 4 rounds suffice). The
+    # per-round ancestor pointers are static, so each round is one
+    # one-hot gather matmul + one unrolled transform composition.
+    depth_max = int(model.depth.max())
+    ptr = np.append(model.parent_pad, nb)  # virtual root nb -> itself
+    jump_gathers = []
+    covered = 1
+    while covered < depth_max + 1:
+        g = np.zeros((nb + 1, nb + 1), np.float32)
+        g[np.arange(nb + 1), ptr] = 1.0
+        jump_gathers.append(g)
+        ptr = ptr[ptr]
+        covered *= 2
     j1_from_links = np.zeros((nj, nb), np.float32)       # gather 1-dof links
     j1_from_links[np.arange(nj), model.j1_links] = 1.0
     j1_to_links = j1_from_links.T                        # scatter back
@@ -204,7 +212,7 @@ def _structure(model: ArticulatedModel):
     j1_to_v[model.j1_v, np.arange(nj)] = 1.0
     dof_from_link = np.zeros((nv, nb), np.float32)       # V_o per dof link
     dof_from_link[np.arange(nv), model.dof_link] = 1.0
-    s = dict(lvl_gather=lvl_gather, lvl_scatter=lvl_scatter,
+    s = dict(jump_gathers=jump_gathers,
              j1_from_links=j1_from_links, j1_to_links=j1_to_links,
              j1_to_v=j1_to_v, dof_from_link=dof_from_link)
     model._el_structure = s
@@ -214,7 +222,7 @@ def _structure(model: ArticulatedModel):
 def forward_kinematics(model: ArticulatedModel, q, v_dof,
                        params: DynParams) -> Kinematics:
     """Computes per-link world poses, world-Plücker joint subspaces and
-    link velocities. Level-batched; env-last throughout.
+    link velocities. Pointer-jumping propagation; env-last throughout.
 
     Link translations scale with ``params.scale`` (uniform geometry scale —
     the 'scale' DR operation changes limb lengths, not just collision
@@ -271,21 +279,23 @@ def forward_kinematics(model: ArticulatedModel, q, v_dof,
         R_loc = R_loc.at[i].set(_quat_to_rot_rows(qT[qi + 3:qi + 7]))
         r_loc = r_loc.at[i].set(qT[qi:qi + 3])
 
-    # --- level-batched propagation (virtual world node at index nb). ---- #
-    R_w = jnp.zeros((nb + 1, 3, 3, n)).at[nb].set(
-        jnp.broadcast_to(jnp.eye(3)[..., None], (3, 3, n)))
-    p_w = jnp.zeros((nb + 1, 3, n))
-    for lvl, g, sc in zip(model.levels, st["lvl_gather"],
-                          st["lvl_scatter"]):
-        Rp = _fold(g, R_w.reshape(nb + 1, -1)).reshape(len(lvl), 3, 3, n)
-        pp = _fold(g, p_w.reshape(nb + 1, -1)).reshape(len(lvl), 3, n)
-        R_new = _mm(Rp, R_loc[lvl])
-        p_new = pp + _mv(Rp, r_loc[lvl])
-        R_w = R_w + _fold(sc, R_new.reshape(len(lvl), -1)).reshape(
-            nb + 1, 3, 3, n)
-        p_w = p_w + _fold(sc, p_new.reshape(len(lvl), -1)).reshape(
-            nb + 1, 3, n)
-    R_w, p_w = R_w[:nb], p_w[:nb]
+    # --- pointer-jumping propagation (log-depth parallel prefix): ------- #
+    # M_i = (R, p) as a (3, 4) block accumulates the transform chain from
+    # each link toward the root; round k composes every link with its
+    # 2^k-th ancestor's accumulated segment ((R1,p1)∘(R2,p2) =
+    # (R1 R2, p1 + R1 p2) is associative). Virtual root nb = identity.
+    M = jnp.concatenate([R_loc, r_loc[:, :, None, :]], 2)  # (nb, 3, 4, N)
+    root = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3)[..., None], (3, 3, n)),
+         jnp.zeros((3, 1, n))], 1)[None]
+    M = jnp.concatenate([M, root], 0)                       # (nb+1,3,4,N)
+    for g in st["jump_gathers"]:
+        A = _fold(g, M.reshape(nb + 1, -1)).reshape(nb + 1, 3, 4, n)
+        A_R, A_p = A[:, :, 0:3], A[:, :, 3]
+        R_new = _mm(A_R, M[:, :, 0:3])
+        p_new = A_p + _mv(A_R, M[:, :, 3])
+        M = jnp.concatenate([R_new, p_new[:, :, None, :]], 2)
+    R_w, p_w = M[:nb, :, 0:3], M[:nb, :, 3]
 
     # --- world-Plücker dof subspaces about o = first root position. ----- #
     o = p_w[0]                                            # (3, N)
