@@ -49,7 +49,7 @@ env-last (trailing N), squeezed for single-env calls.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import numpy as np
 
