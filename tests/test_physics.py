@@ -146,6 +146,49 @@ class TestDynamicsOracles:
         assert energy(q1, v1) <= energy(q, v) + 0.01
 
 
+class TestBatchConsistency:
+    def test_batched_equals_stacked_single_env(self):
+        # The natively-batched engine on (N, ..) inputs must equal N
+        # independent single-env calls (catches any batch-axis mixing).
+        from bayes_sim_ig_tpu.sim import make_env
+        from bayes_sim_ig_tpu.distributions import (Uniform,
+                                                    to_device_distr)
+        from bayes_sim_ig_tpu.physics.dynamics import forward_dynamics
+        from bayes_sim_ig_tpu.physics.contact import ground_contact_forces
+        from bayes_sim_ig_tpu.physics.dynamics import forward_kinematics
+        import yaml
+        import os
+        cfg = yaml.safe_load(open(os.path.join(
+            os.path.dirname(__file__), "..", "bayes_sim_ig_tpu", "cfg",
+            "ant.yaml")))
+        cfg["env"]["numEnvs"] = 3
+        env = make_env("Ant", cfg)
+        spec = env.task.params_spec
+        env.set_distr(to_device_distr(Uniform(spec.lows, spec.highs)))
+        env.reset()
+        rs = np.random.RandomState(4)
+        for _ in range(5):
+            env.step(jnp.asarray(rs.uniform(-1, 1, (3, 8)), jnp.float32))
+        st = env.state
+        m = env.task.model
+        dp = jax.vmap(env.task._dyn_params)(st.params)
+        q, v = st.task_state.q, st.task_state.v
+        tau = jnp.asarray(rs.randn(3, m.nv).astype(np.float32) * 5.0)
+        kin = forward_kinematics(m, q, v, dp)
+        f_ext = ground_contact_forces(m, kin, dp)
+        qdd_b, _ = forward_dynamics(m, q, v, tau, dp, f_ext,
+                                    dt=1 / 120.0, kin=kin)
+        for i in range(3):
+            dp_i = jax.tree_util.tree_map(lambda a: a[i], dp)
+            kin_i = forward_kinematics(m, q[i], v[i], dp_i)
+            f_i = ground_contact_forces(m, kin_i, dp_i)
+            qdd_i, _ = forward_dynamics(m, q[i], v[i], tau[i], dp_i,
+                                        f_i, dt=1 / 120.0, kin=kin_i)
+            np.testing.assert_allclose(np.asarray(qdd_b[i]),
+                                       np.asarray(qdd_i),
+                                       rtol=2e-3, atol=2e-3)
+
+
 class TestForwardKinematicsOracle:
     def test_three_link_chain_world_poses(self):
         # Independent closed-form check: planar z-revolute + y-revolute +
