@@ -66,7 +66,11 @@ def _chol_lanes_core(At, bt):
         raw = At[:, j]
         if j:
             raw = raw - jnp.einsum("kn,kin->in", Lt[:j, j], Lt[:j])
-        d = jnp.sqrt(jnp.maximum(raw[j], 1e-12))
+        # Non-positive pivot => indefinite/NaN-adjacent LHS: propagate NaN
+        # (instead of clamping to a finite wrong solve) so the env-step
+        # non-finite quarantine catches divergence (ADVICE round 2).
+        d = jnp.where(raw[j] > 0.0, jnp.sqrt(jnp.maximum(raw[j], 1e-30)),
+                      jnp.nan)
         Lt = Lt.at[j].set(jnp.where(rows >= j, raw / d, 0.0))
     y = jnp.zeros_like(bt)
     for i in range(n):

@@ -23,14 +23,28 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     arguments support manual bring-up, including the single-process form
     (num_processes=1, process_id=0, coordinator on localhost) that the
     test suite exercises. Returns True if initialization happened, False
-    if it was skipped (already initialized, or nothing to coordinate)."""
+    if it was skipped (already initialized, or nothing to coordinate).
+
+    Only the benign failure modes are swallowed: already-initialized and
+    (for argument-free auto-detection) no-cluster-environment. A genuine
+    bring-up failure with explicit coordinator arguments — bad address,
+    mismatched process count — re-raises instead of silently falling back
+    to single-host (ADVICE round 2)."""
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id, **kwargs)
         return True
-    except (RuntimeError, ValueError):
-        return False  # already initialized or no cluster env to detect
+    except (RuntimeError, ValueError) as e:
+        msg = str(e).lower()
+        # Benign: this process is already past distributed bring-up
+        # (initialized earlier, or the XLA backend is already live).
+        if "already" in msg or "must be called before" in msg:
+            return False
+        if not explicit:
+            return False  # no cluster env to auto-detect
+        raise
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = ENV_AXIS) -> Mesh:

@@ -104,12 +104,19 @@ def _cross(a, b):
 
 
 def _rows(x):
-    """Normalizes a per-env 3-vector argument to (3, N): accepts (3,),
-    (N, 3) env-first, or (3, N) already-env-last arrays."""
+    """Normalizes a per-env 3-vector argument to (3, N): accepts a static
+    (3,) vector or an env-last (3, N) array. Env-first (N, 3) input is
+    REJECTED rather than inferred — an (3, 3) array is ambiguous between
+    the two layouts and silently transposing produced wrong contact
+    geometry for 3-env batches (ADVICE round 2)."""
     x = jnp.asarray(x, jnp.float32)
     if x.ndim == 1:
         return x[:, None]
-    return x.T if x.shape[-1] == 3 and x.shape[0] != 3 else x
+    if x.shape[0] != 3:
+        raise ValueError(
+            f"per-env contact vectors must be env-last (3, N); got "
+            f"{x.shape} — transpose env-first inputs at the call site")
+    return x
 
 
 def sphere_plane_pair_forces(model: ArticulatedModel, kin,

@@ -67,7 +67,7 @@ _HI = jax.lax.Precision.HIGHEST
 # Env-last helpers: arrays are (.., structure dims .., N); fixed-size
 # contractions unroll into elementwise products of (.., N) slices.
 # --------------------------------------------------------------------- #
-def _mm(A, B, axa=-3, n=3):
+def _mm(A, B, n=3):
     """Unrolled matmul over two structure axes: A, B are (.., n, n, N)
     (structure axes at positions -3, -2). Returns (.., n, n, N)."""
     rows = []

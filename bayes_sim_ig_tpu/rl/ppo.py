@@ -286,44 +286,7 @@ class PPO:
                 train_state, traj, last_val, k_perm)
             return new_state, env_state, obs, iter_metrics
 
-        if not task.prefer_host_loop:
-            return jax.jit(train_iteration)
-
-        # Host-driven variant for heavy physics bodies (see sim/task.py
-        # prefer_host_loop): the per-step program is jitted once and
-        # dispatched nsteps times (async dispatch pipelines the launches);
-        # the update phase stays one jitted program over the stacked
-        # trajectory.
-        @jax.jit
-        def rollout_step(params, distr, env_state, obs, step_key):
-            act, logp = networks.sample_action(params, obs, step_key,
-                                               activation)
-            val = networks.value(params, obs, activation)
-            env_state, obs2, rew, done = env_step(task, distr, env_state,
-                                                  act)
-            return env_state, obs2, (obs, act, logp, val, rew,
-                                     done.astype(jnp.float32))
-
-        last_value = jax.jit(
-            lambda params, obs: networks.value(params, obs, activation))
-        update_jit = jax.jit(update_from_traj)
-
-        def train_iteration_host(train_state, distr, env_state, obs, key):
-            k_roll, k_perm = jax.random.split(key)
-            keys = jax.random.split(k_roll, nsteps)
-            outs = []
-            for t in range(nsteps):
-                env_state, obs, out = rollout_step(
-                    train_state.params, distr, env_state, obs, keys[t])
-                outs.append(out)
-            traj = tuple(jnp.stack([o[i] for o in outs])
-                         for i in range(6))
-            last_val = last_value(train_state.params, obs)
-            new_state, iter_metrics = update_jit(train_state, traj,
-                                                 last_val, k_perm)
-            return new_state, env_state, obs, iter_metrics
-
-        return train_iteration_host
+        return jax.jit(train_iteration)
 
     # ------------------------------------------------------------------ #
     def run(self, num_learning_iterations, log_interval=1):

@@ -48,15 +48,6 @@ class Task:
     params_spec: Any  # dr.ParamsSpec
     obs_noise: Optional[NoiseConfig] = None
     act_noise: Optional[NoiseConfig] = None
-    # If set, rollout drivers dispatch steps from the host instead of
-    # lax.scan. No task sets it anymore: round 1's "scan is 100x slower
-    # than dispatch" was a measurement artifact (this runtime's
-    # block_until_ready returns before execution completes, so
-    # host-dispatch timings were phantom async numbers), and the env-last
-    # engine rewrite made the scanned path the fastest honest option
-    # (Ant 5.0M / Humanoid 1.6M / ShadowHand 1.1M env-steps/s measured
-    # with a host-fetched fence). The host driver is kept for debugging.
-    prefer_host_loop: bool = False
 
     def setup_noise(self, randomization_params: dict):
         """Parses optional 'observations'/'actions' noise subtrees

@@ -81,50 +81,6 @@ def get_collect_policy(name: Optional[str]):
 
 
 # --------------------------------------------------------------------- #
-@functools.partial(
-    jax.jit, static_argnames=("task", "policy_apply", "collect_policy",
-                              "max_episode_length"))
-def _collect_step(task, policy_apply, collect_policy, max_episode_length,
-                  policy_params, distr, env_state, obs, step_key):
-    """One fused act+transform+env step (host-loop driver body)."""
-    k_act, k_pol = jax.random.split(step_key)
-    act = policy_apply(policy_params, obs, k_act)
-    act = collect_policy(act, k_pol)
-    env_state, obs2, rew, done = env_step(task, distr, env_state, act,
-                                          max_episode_length)
-    return env_state, obs2, act, rew, done
-
-
-def _collect_round_host(task, policy_apply, collect_policy,
-                        max_episode_length, policy_params, distr, key):
-    """Host-driven variant of ``_collect_round``: dispatches the jitted
-    step back to back (async dispatch pipelines the launches), which on
-    this runtime is far faster than scan-embedding heavy physics bodies
-    (see sim/task.py ``prefer_host_loop``)."""
-    k_reset, k_scan = jax.random.split(key)
-    reset = jax.jit(env_full_reset, static_argnames=("task",))
-    env_state, obs0 = reset(task, distr, k_reset)
-    labels = env_state.params
-    n_steps = max_episode_length - 1
-    keys = jax.random.split(k_scan, n_steps)
-    obs_l, act_l, rew_l, done_l = [], [], [], []
-    obs = obs0
-    for t in range(n_steps):
-        env_state, obs, act, rew, done = _collect_step(
-            task, policy_apply, collect_policy, max_episode_length,
-            policy_params, distr, env_state, obs, keys[t])
-        obs_l.append(obs)
-        act_l.append(act)
-        rew_l.append(rew)
-        done_l.append(done)
-    obs_seq = jnp.stack(obs_l)
-    act_seq = jnp.stack(act_l)
-    rew_seq = jnp.stack(rew_l)
-    done_seq = jnp.stack(done_l)
-    return _postprocess_round(obs0, obs_seq, act_seq, rew_seq, done_seq,
-                              labels)
-
-
 @jax.jit
 def _postprocess_round(obs0, obs_seq, act_seq, rew_seq, done_seq, labels):
     """Episode extraction + repeat-last padding (shared by both drivers)."""
@@ -204,13 +160,11 @@ def collect_trajectories(
     policy_apply = ppo.policy_apply
     collect_policy = (policy_rl if collect_policy_fxn is None
                       else collect_policy_fxn)
-    round_fn = (_collect_round_host if task.prefer_host_loop
-                else _collect_round)
     n_rounds = -(-num_trajs // task.num_envs)  # ceil
     all_params, all_states, all_acts, all_rews = [], [], [], []
     for r in range(n_rounds):
         key, k_round = jax.random.split(key)
-        labels, states, acts, rews = round_fn(
+        labels, states, acts, rews = _collect_round(
             task, policy_apply, collect_policy, max_episode_length,
             ppo.train_state.params, distr, k_round)
         all_params.append(labels)

@@ -56,8 +56,10 @@ class TestSpdSolve:
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
                                    rtol=1e-4, atol=1e-5)
 
-    @pytest.mark.heavy
     def test_pallas_kernel_interpret_matches(self):
+        # Cheap (4 systems, nv=9) and the ONLY correctness coverage of the
+        # opt-in BSIM_SPD_PALLAS path — runs in the default profile so the
+        # kernel cannot silently regress (ADVICE round 2).
         from jax.experimental.pallas import tpu as pltpu
         A, b = self._spd(4, 9, seed=5)
         At = jnp.transpose(A, (1, 2, 0))
