@@ -1,0 +1,89 @@
+"""Tree-sparse LTDL factorization/solve for articulated mass matrices,
+env-last (lanes) layout.
+
+The CRBA mass matrix of a kinematic tree is nonzero only at ancestor
+pairs of the expanded dof tree (M[k, i] != 0 iff i is an ancestor-or-self
+of k), and — with dofs ordered so parents precede children — its
+M = L^T D L factorization fills in ONLY at those same pairs
+(Featherstone, Rigid Body Dynamics Algorithms ch. 6: branch-induced
+sparsity; the dof tree is the elimination tree). So instead of the dense
+lanes-layout column Cholesky in ops/spd_kernel.py (O(nv^3/3) multiplies
+per env — ~4.5k for ShadowHand's nv=30 — with every column step reading
+all previously built columns, ~0.9 GB of HBM reads per 16k-env solve),
+this solver touches only the E ancestor pairs:
+
+  * ShadowHand (4 nearly independent finger chains + LF + thumb + wrist
+    + a free cube): E = 136 of 465 lower-triangle entries, ~330 multiply
+    -adds per env in the factorization — ~14x fewer flops and ~40x less
+    HBM traffic than the dense elimination;
+  * every value is an (N,)-lane vector held in a Python dict keyed by the
+    static (k, i) pair, so the unrolled update graph is a DAG of fused
+    VPU ops with zero padding waste and no scatters.
+
+The factorization is the classic sparse LTDL (RBDA Table 6.3/6.5,
+expanded-loop form), differentiable end to end (plain jnp ops). Non
+-positive pivots propagate NaN — same policy as spd_kernel.py — so
+indefinite systems surface through the env non-finite quarantine instead
+of silently solving a clamped wrong system.
+
+Reference context: the reference's engine outsources this solve to
+PhysX's articulation solver (closed source); SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def ancestor_pairs(chains: Sequence[Sequence[int]]) -> List[Tuple[int, int]]:
+    """All (k, i) with i an ancestor-or-self of k, k major order.
+    ``chains[k]`` lists k's proper ancestors (model.dof_anc_chains)."""
+    pairs = []
+    for k, ch in enumerate(chains):
+        pairs.append((k, k))
+        pairs.extend((k, i) for i in ch)
+    return pairs
+
+
+def ltdl_solve(chains: Sequence[Sequence[int]],
+               M: Dict[Tuple[int, int], jnp.ndarray],
+               b_rows: Sequence[jnp.ndarray]):
+    """Solves M x = b for SPD tree-sparse systems in lanes layout.
+
+    chains: per-dof proper-ancestor lists (static python structure).
+    M: dict {(k, i): (N,) value} over exactly ``ancestor_pairs(chains)``
+    (lower triangle incl. diagonal; the caller builds CRBA entries only
+    at these pairs). b_rows: length-nv sequence of (N,) rows. Returns the
+    list of nv (N,) solution rows. Consumes its inputs functionally (the
+    dict is copied)."""
+    nv = len(chains)
+    H = dict(M)
+    parent = [ch[0] if ch else -1 for ch in chains]
+    # --- factorize: H = L^T D L (diag of H becomes D, off-diag L). ------ #
+    for k in range(nv - 1, -1, -1):
+        i = parent[k]
+        while i >= 0:
+            a = H[(k, i)] / H[(k, k)]
+            j = i
+            while j >= 0:
+                H[(i, j)] = H[(i, j)] - a * H[(k, j)]
+                j = parent[j]
+            H[(k, i)] = a
+            i = parent[i]
+    # NaN-propagating pivot policy (see module docstring).
+    D = [jnp.where(H[(k, k)] > 0.0, H[(k, k)], jnp.nan)
+         for k in range(nv)]
+    # --- substitute: z = L^-T b; z /= D; x = L^-1 z. -------------------- #
+    x = list(b_rows)
+    for k in range(nv - 1, -1, -1):
+        for i in chains[k]:
+            x[i] = x[i] - H[(k, i)] * x[k]
+    x = [x[k] / D[k] for k in range(nv)]
+    for k in range(nv):
+        acc = x[k]
+        for i in chains[k]:
+            acc = acc - H[(k, i)] * x[i]
+        x[k] = acc
+    return x

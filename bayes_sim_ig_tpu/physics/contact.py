@@ -210,9 +210,11 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
     sphere_links/plane_links: static (P,) int arrays.
     sphere_offsets/plane_points: (P, 3) static or (P, 3, N) env-last (in
     the PLANE/SPHERE body frames; multiplied by params.scale like the
-    single-pair function). plane_normals: (P, 3) static. radii: (P,) or
-    (P, N). mu: scalar, (P,), or (P, N). plane_halfsizes: None, (P,), or
-    (P, N). Returns env-last (nb, 6, N) ((nb, 6) for single-env kin)."""
+    single-pair function). plane_normals: (P, 3) static or (P, 3, N)
+    env-last unit normals (NOT scaled — e.g. per-env selected cube
+    faces). radii: (P,) or (P, N). mu: scalar, (P,), or (P, N).
+    plane_halfsizes: None, (P,), or (P, N). Returns env-last (nb, 6, N)
+    ((nb, 6) for single-env kin)."""
     single = kin.p_w.ndim == 2
     if single:
         kin = jax.tree_util.tree_map(lambda a: a[..., None], kin)
@@ -230,8 +232,9 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
 
     off_s = per_pair_vec(sphere_offsets)
     pp = per_pair_vec(plane_points)
+    nrm_a = jnp.asarray(plane_normals, jnp.float32)
     nrm = jnp.broadcast_to(
-        jnp.asarray(plane_normals, jnp.float32)[:, :, None], (P, 3, n))
+        nrm_a[:, :, None] if nrm_a.ndim == 2 else nrm_a, (P, 3, n))
     radii_j = jnp.broadcast_to(
         jnp.asarray(radii, jnp.float32).reshape(P, -1), (P, n)) * scale
     mu_j = jnp.broadcast_to(

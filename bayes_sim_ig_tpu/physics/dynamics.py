@@ -58,7 +58,7 @@ import jax.numpy as jnp
 
 from .model import ArticulatedModel, DynParams
 from .spatial import hat
-from ..ops.spd_kernel import spd_solve_lanes
+from ..ops.tree_solve import ancestor_pairs, ltdl_solve
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -407,6 +407,106 @@ def _plucker_inertia_direct(kin: Kinematics, params: DynParams):
     return jnp.concatenate([top, bot], 1)
 
 
+# --------------------------------------------------------------------- #
+# 10-parameter symmetric spatial inertia (the hot-path representation).
+#
+# A spatial inertia about the shared reference point o is fully determined
+# by 10 scalars: the symmetric 3x3 rotational block A = I_c + m chat chat^T
+# (6), the first moment h = m c (3), and the mass m (1):
+#
+#     I_o = [[A, hat(h)], [hat(h)^T, m 1]].
+#
+# Storing (nb, 10, N) instead of (nb, 6, 6, N) cuts the HBM footprint of
+# the engine's largest tensors 3.6x, composite-inertia accumulation (CRBA)
+# stays a plain linear fold over the 10 rows, and every I_o @ V product
+# needs 24 multiplies instead of 36 with no 6x6 materialization.
+# Row layout: [Axx, Ayy, Azz, Axy, Axz, Ayz, hx, hy, hz, m].
+# --------------------------------------------------------------------- #
+def _i10_direct(kin: Kinematics, params: DynParams):
+    """(nb, 10, N) spatial inertias about o from world COM/world-rotated
+    inertia diagonals (same math as ``_plucker_inertia_direct``, packed)."""
+    R = kin.R_w                                            # (nb, 3, 3, N)
+    n = R.shape[-1]
+    s = jnp.broadcast_to(jnp.asarray(params.scale), (n,))
+    com_l = jnp.moveaxis(jnp.asarray(params.com), 0, -1) * s  # (nb, 3, N)
+    c = kin.p_w + _mv(R, com_l) - kin.o[None]              # (nb, 3, N)
+    diag = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1) * s ** 2
+    mass = jnp.asarray(params.mass).T                      # (nb, N)
+
+    def ric(i, j):  # (R diag R^T)[i, j]
+        return sum(R[:, i, k] * diag[:, k] * R[:, j, k] for k in range(3))
+
+    cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
+    c2 = cx * cx + cy * cy + cz * cz
+    rows = [ric(0, 0) + mass * (c2 - cx * cx),
+            ric(1, 1) + mass * (c2 - cy * cy),
+            ric(2, 2) + mass * (c2 - cz * cz),
+            ric(0, 1) - mass * cx * cy,
+            ric(0, 2) - mass * cx * cz,
+            ric(1, 2) - mass * cy * cz,
+            mass * cx, mass * cy, mass * cz,
+            jnp.broadcast_to(mass, c2.shape)]
+    return jnp.stack(rows, 1)                              # (nb, 10, N)
+
+
+def _i10_mv(I10, V):
+    """I_o @ V for packed inertias: I10 (.., 10, N), V (.., 6, N) motion
+    [w; u] -> force [A w + h x u; -h x w + m u], (.., 6, N)."""
+    axx, ayy, azz = I10[..., 0, :], I10[..., 1, :], I10[..., 2, :]
+    axy, axz, ayz = I10[..., 3, :], I10[..., 4, :], I10[..., 5, :]
+    h = I10[..., 6:9, :]
+    m = I10[..., 9, :]
+    w, u = V[..., :3, :], V[..., 3:, :]
+    wx, wy, wz = w[..., 0, :], w[..., 1, :], w[..., 2, :]
+    aw = jnp.stack([axx * wx + axy * wy + axz * wz,
+                    axy * wx + ayy * wy + ayz * wz,
+                    axz * wx + ayz * wy + azz * wz], -2)
+    top = aw + _cross(h, u)
+    bot = m[..., None, :] * u - _cross(h, w)
+    return jnp.concatenate([top, bot], -2)
+
+
+def _bias_from_i10(model: ArticulatedModel, kin: Kinematics, I10,
+                   params: DynParams, f_ext_world=None):
+    """RNEA bias (qdd = 0) like ``_bias_from_plucker`` but on packed
+    inertias. Returns (nv, N)."""
+    st = _structure(model)
+    nv, nb = model.nv, model.nb
+    n = kin.V_o.shape[-1]
+    Vd = _fold(st["dof_from_link"],
+               kin.V_o.reshape(nb, -1)).reshape(nv, 6, n)
+    Sv = kin.Sv_o
+    dSa = _cross(Vd[:, :3], Sv[:, :3])
+    dSl = _cross(Vd[:, :3], Sv[:, 3:]) + _cross(Vd[:, 3:], Sv[:, :3])
+    Sdot_v = jnp.concatenate([dSa, dSl], 1)               # (nv, 6, N)
+    grav = jnp.broadcast_to(jnp.asarray(params.gravity).T.reshape(3, -1),
+                            (3, n))
+    a = _fold(model.anc_dof, Sdot_v.reshape(nv, -1)).reshape(nb, 6, n)
+    a = a.at[:, 3:].add(-grav[None])
+    IV = _i10_mv(I10, kin.V_o)
+    Ia = _i10_mv(I10, a)
+    w, vl = kin.V_o[:, :3], kin.V_o[:, 3:]
+    vxf = jnp.concatenate([_cross(w, IV[:, :3]) + _cross(vl, IV[:, 3:]),
+                           _cross(w, IV[:, 3:])], 1)
+    f = Ia + vxf                                          # (nb, 6, N)
+    if f_ext_world is not None:
+        rel = kin.p_w - kin.o[None]
+        n_o = f_ext_world[:, :3] + _cross(rel, f_ext_world[:, 3:])
+        f = f - jnp.concatenate([n_o, f_ext_world[:, 3:]], 1)
+    F = _fold(model.anc_dof.T, f.reshape(nb, -1)).reshape(nv, 6, n)
+    return jnp.sum(F * kin.S_o, 1)                        # (nv, N)
+
+
+def _mass_factors_i10(model: ArticulatedModel, kin: Kinematics, I10):
+    """CRBA left factor F[m] = IC_m S_m from packed composite inertias
+    (IC_m = subtree sum of I10 — the 10-vector is linear in the bodies).
+    Returns (nv, 6, N)."""
+    nb, nv = model.nb, model.nv
+    n = I10.shape[-1]
+    IC = _fold(model.anc_dof.T, I10.reshape(nb, -1)).reshape(nv, 10, n)
+    return _i10_mv(IC, kin.S_o)
+
+
 def _inertia_to_plucker(kin: Kinematics, I_sp):
     """Re-expresses body-frame spatial inertias (at link origins) in the
     shared world-Plücker frame about o: I_o = X^{-T} I X^{-1} with
@@ -556,8 +656,8 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
         return qdd[0], _squeeze_last(kin1)
     if kin is None:
         kin = forward_kinematics(model, q, v, params)
-    I_o = _plucker_inertia_direct(kin, params)
-    C = _bias_from_plucker(model, kin, I_o, params, f_ext_world)  # (nv, N)
+    I10 = _i10_direct(kin, params)
+    C = _bias_from_i10(model, kin, I10, params, f_ext_world)  # (nv, N)
     vT = _el(v)
     q_dofT = _el(dof_positions(model, q))
     stiffT = _el(jnp.broadcast_to(jnp.asarray(params.stiffness),
@@ -567,13 +667,24 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
     armT = _el(jnp.broadcast_to(jnp.asarray(params.armature), v.shape))
     passive = -stiffT * q_dofT - fricT * jnp.tanh(vT / 0.05)
     rhs = _el(tau) + passive - C - dampT * vT              # (nv, N)
-    M_l = _mass_from_plucker(model, kin, I_o)              # (nv, nv, N)
     diag_extra = armT + 1e-6
     if dt is not None:
         diag_extra = diag_extra + dt * dampT
-    lhs = M_l + jnp.eye(model.nv)[:, :, None] * diag_extra[None, :, :]
-    # SPD solve: already in the solver's lanes layout (ops/spd_kernel.py).
-    qdd = spd_solve_lanes(lhs, rhs).T
+    # Tree-sparse mass matrix: CRBA entries are built ONLY at the
+    # ancestor pairs of the dof tree (M[k, i] = F_k . S_i, k deeper) and
+    # solved by the branch-sparse LTDL in ops/tree_solve.py — for
+    # ShadowHand that is 136 of 465 lower-triangle entries and ~14x fewer
+    # factorization flops than the dense lanes Cholesky.
+    F = _mass_factors_i10(model, kin, I10)                 # (nv, 6, N)
+    S = kin.S_o
+    chains = model.dof_anc_chains
+    M = {}
+    for (k, i) in ancestor_pairs(chains):
+        M[(k, i)] = sum(F[k, c] * S[i, c] for c in range(6))
+    for k in range(model.nv):
+        M[(k, k)] = M[(k, k)] + diag_extra[k]
+    qdd = jnp.stack(
+        ltdl_solve(chains, M, [rhs[k] for k in range(model.nv)]), 0).T
     return qdd, kin
 
 

@@ -173,6 +173,33 @@ class ArticulatedModel:
         self.free_list = [(i, self.q_off[i], self.v_off[i])
                           for i in range(nb)
                           if self.joint_types[i] == "free"]
+        # Expanded dof tree: parent dof of each dof (-1 at roots). Dofs of
+        # a multi-dof (free) joint chain sequentially, so its 6x6 mass
+        # block is dense in ancestor pairs; across links the parent is the
+        # last dof of the nearest ancestor link that has dofs. This is the
+        # elimination tree of the CRBA mass matrix: its Cholesky/LTDL
+        # factor fills in ONLY at ancestor pairs (Featherstone's
+        # branch-induced sparsity), which ops/tree_solve.py exploits.
+        last_dof = np.full(nb, -1, np.int64)
+        dof_parent = np.full(nv, -1, np.int64)
+        for i in range(nb):
+            p = self.parent[i]
+            inherited = last_dof[p] if p >= 0 else -1
+            nd = JOINT_DOF[self.joint_types[i]]
+            for k in range(nd):
+                dof_parent[self.v_off[i] + k] = \
+                    inherited if k == 0 else self.v_off[i] + k - 1
+            last_dof[i] = self.v_off[i] + nd - 1 if nd else inherited
+        self.dof_parent = dof_parent
+        # Ancestor chains (excluding self), leaf-to-root order per dof.
+        chains = []
+        for k in range(nv):
+            ch, j = [], dof_parent[k]
+            while j >= 0:
+                ch.append(int(j))
+                j = dof_parent[j]
+            chains.append(ch)
+        self.dof_anc_chains = chains
         # E_t^T per link (child->parent rotation at q = 0).
         self.joint_rot_T = np.ascontiguousarray(
             self.joint_rot.transpose(0, 2, 1)).astype(np.float32)

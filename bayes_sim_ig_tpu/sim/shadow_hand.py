@@ -403,43 +403,69 @@ class ShadowHand(Task):
             kp = kp * stiff_mult[:, jnp.asarray(act_pos)]
         tip_mu, obj_mu = jax.vmap(self._contact_frictions)(params)
 
-        # --- all 38 contact pairs as ONE vectorized computation --------- #
-        # (8 cube corners vs palm plane + 5 fingertips x 6 cube faces;
-        # per-pair calls would multiply the per-step HLO ~40x).
+        # --- contact pairs: 8 cube corners vs palm plane + 5 fingertips
+        # vs their NEAREST cube face (selected per env from the tip
+        # center in cube-local coordinates) = 13 pairs in ONE vectorized
+        # computation. Round 2 tested all 5 x 6 tip-face pairs (38
+        # total); only the max-penetration face of each tip can act, so
+        # selecting it first cuts the per-pair transform/velocity/force
+        # work ~3x with identical forces except exactly on a cube edge
+        # (where the round-2 model double-counted two shallow face
+        # contacts and this one keeps the deeper).
         n_env = actions.shape[0]
         tip_geoms = [next(g for g in m.geoms if g.link == t)
                      for t in self._fingertips]
-        sphere_links = [self._cube] * 8 + [t for t in self._fingertips
-                                           for _ in _FACES]
-        plane_links = [self._palm] * 8 + [self._cube] * 30
-        cube_half_env = (CUBE_HALF * s)[None, None, :]      # (1, 1, N)
+        n_tips = len(self._fingertips)
+        tips_arr = np.asarray(self._fingertips)
+        sphere_links = [self._cube] * 8 + list(self._fingertips)
+        plane_links = [self._palm] * 8 + [self._cube] * n_tips
+        cube_half = CUBE_HALF * s                           # (N,)
         corner_off = np.asarray(_CORNERS, np.float32)       # (8, 3)
+        tip_off = np.asarray([g.offset for g in tip_geoms], np.float32)
         sph_off = jnp.concatenate([
-            corner_off[:, :, None] * cube_half_env,
-            jnp.broadcast_to(jnp.asarray(
-                [g.offset for g in tip_geoms for _ in _FACES],
-                jnp.float32)[:, :, None], (30, 3, n_env))], 0)
-        plane_pts = jnp.concatenate([
-            jnp.broadcast_to(jnp.asarray(
-                [(0.06, 0.0, 0.012)] * 8, jnp.float32)[:, :, None],
-                (8, 3, n_env)),
-            np.asarray([pt for _ in self._fingertips
-                        for _nrm, pt in _FACES],
-                       np.float32)[:, :, None] * cube_half_env], 0)
-        plane_nrms = np.asarray(
-            [(0.0, 0.0, 1.0)] * 8
-            + [nrm for _ in self._fingertips for nrm, _pt in _FACES],
-            np.float32)
-        radii = np.asarray([0.002] * 8 + [g.size[0] for g in tip_geoms
-                                          for _ in _FACES], np.float32)
+            corner_off[:, :, None] * cube_half[None, None, :],
+            jnp.broadcast_to(tip_off[:, :, None], (n_tips, 3, n_env))], 0)
+        palm_pts = jnp.broadcast_to(jnp.asarray(
+            [(0.06, 0.0, 0.012)] * 8, jnp.float32)[:, :, None],
+            (8, 3, n_env))
+        palm_nrms = jnp.broadcast_to(jnp.asarray(
+            [(0.0, 0.0, 1.0)] * 8, jnp.float32)[:, :, None],
+            (8, 3, n_env))
+        face_n = np.asarray([nrm for nrm, _pt in _FACES], np.float32)
+        radii = np.asarray([0.002] * 8 + [g.size[0] for g in tip_geoms],
+                           np.float32)
         # mu combines the randomized tip and object shape frictions.
-        mu_pairs = jnp.concatenate([
-            jnp.ones((8, n_env)),
-            jnp.repeat(tip_mu.T * obj_mu[None, :], len(_FACES), axis=0)],
-            0)                                              # (38, N)
+        mu_pairs = jnp.concatenate([jnp.ones((8, n_env)),
+                                    tip_mu.T * obj_mu[None, :]], 0)
         halfsizes = jnp.concatenate([
             jnp.full((8, n_env), 0.12),
-            jnp.broadcast_to((CUBE_HALF * s)[None], (30, n_env))], 0)
+            jnp.broadcast_to(cube_half[None], (n_tips, n_env))], 0)
+
+        def tip_face_planes(kin):
+            """Per-env nearest cube face for each fingertip: cube-frame
+            (normal, point) arrays (n_tips, 3, N)."""
+            R_c, p_c = kin.R_w[self._cube], kin.p_w[self._cube]
+            R_t = kin.R_w[tips_arr]                        # (T, 3, 3, N)
+            p_t = kin.p_w[tips_arr]
+            off = jnp.broadcast_to(jnp.asarray(tip_off)[:, :, None],
+                                   (n_tips, 3, n_env))
+            center = p_t + jnp.stack(
+                [sum(R_t[:, i, k] * off[:, k] for k in range(3))
+                 for i in range(3)], 1)                    # world (T,3,N)
+            d = center - p_c[None]
+            c_loc = jnp.stack(
+                [sum(R_c[k, i] * d[:, k] for k in range(3))
+                 for i in range(3)], 1)                    # cube (T,3,N)
+            # Signed distance to each face plane; argmin = deepest face.
+            dists = jnp.stack(
+                [sum(fn_i * c_loc[:, i] for i, fn_i in enumerate(f))
+                 for f in face_n], 1) - cube_half[None, None, :]
+            sel = jax.nn.one_hot(jnp.argmin(dists, axis=1), len(_FACES),
+                                 axis=1, dtype=jnp.float32)  # (T, 6, N)
+            nrm = jnp.stack(
+                [sum(sel[:, f] * face_n[f, i] for f in range(len(_FACES)))
+                 for i in range(3)], 1)                    # (T, 3, N)
+            return nrm, nrm * cube_half[None, None, :]
 
         def substep(carry, _):
             q, v = carry
@@ -457,6 +483,9 @@ class ShadowHand(Task):
                 tau = tau.at[:, v1].add(-f_t)
                 tau = tau.at[:, v0].add(f_t)
             kin = forward_kinematics(m, q, v, dp)
+            face_nrm, face_pt = tip_face_planes(kin)
+            plane_nrms = jnp.concatenate([palm_nrms, face_nrm], 0)
+            plane_pts = jnp.concatenate([palm_pts, face_pt], 0)
             f_ext = sphere_plane_pairs_forces(
                 m, kin, dp, sphere_links, sph_off, radii, plane_links,
                 plane_pts, plane_nrms, mu_pairs, dt=h,

@@ -111,10 +111,12 @@ def bench_pendulum():
     return best
 
 
-def bench_shadow_hand():
-    """ShadowHand through the real collection round (reset + 50 policy
-    steps + episode extraction) at 16384 envs — the articulated hard path
-    (VERDICT round-1 item 3)."""
+def bench_articulated(task_name, cfg_file, n_envs, ep_len):
+    """An articulated task through the real collection round (reset +
+    policy steps + episode extraction) on the rebuilt engine — the
+    articulated hard path (VERDICT round-1 item 3; Ant/Humanoid added
+    round 3 per VERDICT round-2 item 4 so every PARITY.md throughput
+    claim is driver-captured)."""
     import yaml
 
     from bayes_sim_ig_tpu.sim import make_env
@@ -123,23 +125,23 @@ def bench_shadow_hand():
     from bayes_sim_ig_tpu.utils.collect import _collect_round, policy_random
 
     cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bayes_sim_ig_tpu", "cfg", "shadow_hand.yaml")
+                            "bayes_sim_ig_tpu", "cfg", cfg_file)
     cfg = yaml.safe_load(open(cfg_path))
-    cfg["env"]["numEnvs"] = HAND_ENVS
-    env = make_env("ShadowHand", cfg)
+    cfg["env"]["numEnvs"] = n_envs
+    env = make_env(task_name, cfg)
     task = env.task
     distr = to_device_distr(Uniform(task.params_spec.lows,
                                     task.params_spec.highs))
     env.set_distr(distr)
     ppo = process_ppo(env, {"seed": 0, "learn": {}, "policy": {}},
-                      logdir="/tmp/bsim_bench_hand")
+                      logdir=f"/tmp/bsim_bench_{task_name.lower()}")
 
     def run_k(k, key):
         acc = jnp.zeros(())
         for i in range(k):
             key, kr = jax.random.split(key)
             labels, states, acts, rews = _collect_round(
-                task, ppo.policy_apply, policy_random, HAND_LEN,
+                task, ppo.policy_apply, policy_random, ep_len,
                 ppo.train_state.params, distr, kr)
             acc = acc + rews.sum()
         return float(np.asarray(acc))
@@ -151,7 +153,7 @@ def bench_shadow_hand():
         t0 = time.perf_counter()
         run_k(K, jax.random.PRNGKey(rep + 1))
         dt = time.perf_counter() - t0
-        best = max(best, K * (HAND_LEN - 1) * HAND_ENVS / dt)
+        best = max(best, K * (ep_len - 1) * n_envs / dt)
     return best
 
 
@@ -163,13 +165,23 @@ def main():
         "unit": "env steps/s (honest: host-fetched fence)",
         "vs_baseline": round(pend / TARGET, 4),
     }), flush=True)
-    hand = bench_shadow_hand()
+    hand = bench_articulated("ShadowHand", "shadow_hand.yaml",
+                             HAND_ENVS, HAND_LEN)
     print(json.dumps({
         "metric": "shadowhand_env_steps_per_sec_16384envs",
         "value": round(hand, 1),
         "unit": "env steps/s (articulated hard path, honest)",
         "vs_baseline": round(hand / TARGET, 4),
     }), flush=True)
+    for name, cfg_file, n_envs in (("Ant", "ant.yaml", 4096),
+                                   ("Humanoid", "humanoid.yaml", 4096)):
+        val = bench_articulated(name, cfg_file, n_envs, 51)
+        print(json.dumps({
+            "metric": f"{name.lower()}_env_steps_per_sec_{n_envs}envs",
+            "value": round(val, 1),
+            "unit": "env steps/s (articulated, honest)",
+            "vs_baseline": round(val / TARGET, 4),
+        }), flush=True)
     if "--full" in sys.argv:
         bench_mdnn()
         bench_adr_iter()

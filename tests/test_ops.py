@@ -111,3 +111,80 @@ class TestMixtureLoss:
                        jnp.asarray(l_d, jnp.float32), None,
                        jnp.asarray(y, jnp.float32))
         assert float(got) == pytest.approx(-want_rows.mean(), rel=1e-4)
+
+
+class TestTreeSolve:
+    """Branch-sparse LTDL (ops/tree_solve.py) vs dense reference solves on
+    the real task models' mass matrices."""
+
+    def _model_case(self, build):
+        from bayes_sim_ig_tpu.physics import (DynParams,
+                                              forward_kinematics,
+                                              mass_matrix)
+        from bayes_sim_ig_tpu.physics.dynamics import _link_inertias
+        model = build()
+        rs = np.random.RandomState(0)
+        q = model.neutral_q()
+        # Perturb 1-dof joints only (keep quats valid).
+        if model.j1_q.size:
+            q[model.j1_q] += rs.randn(model.j1_q.size) * 0.3
+        v = rs.randn(model.nv) * 0.1
+        params = DynParams.defaults(model)
+        kin = forward_kinematics(model, jnp.asarray(q), jnp.asarray(v),
+                                 params)
+        I_sp = _link_inertias(model, params)
+        M = np.asarray(mass_matrix(model, kin, I_sp), np.float64)
+        M = M + np.eye(model.nv) * 1e-3
+        return model, M
+
+    @pytest.mark.parametrize("task_mod,builder", [
+        ("shadow_hand", "build_hand_model"),
+        ("ant", "build_ant_model"),
+        ("humanoid", "build_humanoid_model"),
+    ])
+    def test_matches_dense_solve(self, task_mod, builder):
+        import importlib
+        from bayes_sim_ig_tpu.ops.tree_solve import (ancestor_pairs,
+                                                     ltdl_solve)
+        mod = importlib.import_module(f"bayes_sim_ig_tpu.sim.{task_mod}")
+        build = getattr(mod, builder)
+        def built():
+            out = build()
+            return out[0] if isinstance(out, tuple) else out
+        model, M = self._model_case(built)
+        rs = np.random.RandomState(1)
+        nv = model.nv
+        nbatch = 5
+        b = rs.randn(nv, nbatch)
+        want = np.linalg.solve(M, b)
+        chains = model.dof_anc_chains
+        pairs = ancestor_pairs(chains)
+        # Structure check: M is (numerically) zero outside ancestor pairs.
+        mask = np.zeros((nv, nv), bool)
+        for (k, i) in pairs:
+            mask[k, i] = mask[i, k] = True
+        off = np.abs(M)[~mask].max() if (~mask).any() else 0.0
+        assert off < 1e-4 * np.abs(M).max()
+        Mp = {(k, i): jnp.full((nbatch,), M[k, i], jnp.float64)
+              for (k, i) in pairs}
+        rows = ltdl_solve(chains, Mp,
+                          [jnp.asarray(b[k]) for k in range(nv)])
+        got = np.asarray(jnp.stack(rows, 0), np.float64)
+        # f32 solver vs f64 reference: tolerance scales with cond(M)*eps32.
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
+        resid = M @ got - b
+        assert np.abs(resid).max() < 1e-4 * max(np.abs(b).max(), 1.0)
+
+    def test_indefinite_propagates_nan(self):
+        from bayes_sim_ig_tpu.ops.tree_solve import (ancestor_pairs,
+                                                     ltdl_solve)
+        chains = [[], [0], [1, 0]]  # 3-dof chain (full ancestor lists)
+        pairs = ancestor_pairs(chains)
+        Mp = {p: jnp.ones((2,)) for p in pairs}
+        Mp[(0, 0)] = jnp.array([4.0, -1.0])  # env 1 indefinite
+        Mp[(1, 1)] = jnp.array([5.0, 5.0])
+        Mp[(2, 2)] = jnp.array([6.0, 6.0])
+        rows = ltdl_solve(chains, Mp, [jnp.ones(2)] * 3)
+        x = np.asarray(jnp.stack(rows, 0))
+        assert np.isfinite(x[:, 0]).all()
+        assert np.isnan(x[:, 1]).any()
