@@ -109,3 +109,23 @@ def test_plot_posterior_writes_tb_images(tmp_path):
     ea.Reload()
     tags = ea.Tags()["images"]
     assert tags == ["BayesSim/posterior_a_mult_vs_c_mult"], tags
+
+
+def test_per_task_train_configs_resolve():
+    """Every task resolves its own tuned ppo_<task>.yaml (the reference's
+    per-task train-config surface, reference utils/args.py:46-58) with the
+    full key set the PPO trainer consumes."""
+    import yaml
+    from bayes_sim_ig_tpu.utils.args import init_args
+    from bayes_sim_ig_tpu.sim import available_tasks
+    for task in available_tasks():
+        args, cfg_env, cfg_train = init_args(
+            ["--task", task, "--logdir", "/tmp/x", "--headless"])
+        expected = os.path.join("cfg", "train",
+                                "ppo_" + snake_case(task) + ".yaml")
+        assert args.cfg_train.endswith(expected), \
+            f"{task}: fell back to {args.cfg_train}"
+        for key in ("gamma", "nsteps", "noptepochs", "nminibatches",
+                    "optim_stepsize", "desired_kl"):
+            assert key in cfg_train["learn"], f"{task}: missing {key}"
+        assert "pi_hid_sizes" in cfg_train["policy"]
