@@ -35,6 +35,7 @@ def use_pallas() -> bool:
 
 from .rff_kernel import rff_features, rff_features_reference  # noqa: E402
 from .spd_kernel import spd_solve, spd_solve_lanes  # noqa: E402
+from .tree_solve import ancestor_pairs, ltdl_solve  # noqa: E402
 
 __all__ = ["use_pallas", "rff_features", "rff_features_reference",
-           "spd_solve", "spd_solve_lanes"]
+           "spd_solve", "spd_solve_lanes", "ancestor_pairs", "ltdl_solve"]

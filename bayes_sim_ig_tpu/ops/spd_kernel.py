@@ -1,4 +1,11 @@
-"""Batched small-SPD linear solve: the physics engine's hot op.
+"""Batched small-SPD linear solve (general dense op).
+
+Round 3: the physics engine's forward-dynamics path no longer uses this
+dense solver — it builds mass-matrix entries only at dof-tree ancestor
+pairs and solves with the branch-sparse LTDL in ops/tree_solve.py (~14x
+fewer factorization flops for ShadowHand). This op remains the public
+batched dense-SPD solve (and the Pallas-kernel reference) for systems
+without tree structure.
 
 Every articulated forward-dynamics step solves (M + diag) qdd = rhs with
 one small SPD matrix per env (nv = 14..30, N = 512..16k envs). XLA's

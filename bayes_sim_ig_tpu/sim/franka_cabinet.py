@@ -288,3 +288,36 @@ class FrankaCabinet(Task):
                 + self.finger_dist_reward_scale * around
                 + self.open_reward_scale * open_reward
                 - self.action_penalty_scale * jnp.sum(a ** 2, axis=-1))
+
+    # ------------------------------------------------------------------ #
+    def render_obs_frame(self, obs_row, height=200, width=300):
+        """Side-view (x-z) schematic from one observation row for the
+        RealSurrogate/video surface: cabinet box, drawer extension
+        (obs[18] is the drawer joint position) and the gripper marker at
+        handle - to_handle (obs[20:23]). Exceeds reference parity (the
+        reference renders Pendulum only)."""
+        img = np.full((height, width, 3), 255, np.uint8)
+        scale = width / 1.5                      # 1.5 m field of view
+        # Cabinet at the right third of the frame.
+        cab_x0, cab_x1 = int(width * 0.65), int(width * 0.95)
+        cab_y0, cab_y1 = int(height * 0.25), int(height * 0.85)
+        img[cab_y0:cab_y1, cab_x0:cab_x0 + 2] = 0
+        img[cab_y0:cab_y1, cab_x1:cab_x1 + 2] = 0
+        img[cab_y0:cab_y0 + 2, cab_x0:cab_x1] = 0
+        img[cab_y1:cab_y1 + 2, cab_x0:cab_x1] = 0
+        # Drawer slides out toward -x by the joint position.
+        drawer = float(np.clip(obs_row[18], 0.0, 0.5))
+        d_px = int(drawer * scale)
+        dy0, dy1 = int(height * 0.45), int(height * 0.6)
+        img[dy0:dy1, cab_x0 - d_px:cab_x0 + 2] = (170, 120, 60)
+        handle = np.array([cab_x0 - d_px, (dy0 + dy1) // 2])
+        img[handle[1] - 3:handle[1] + 3,
+            handle[0] - 3:handle[0] + 3] = (204, 77, 77)
+        # Gripper: hand = handle - to_handle (world x up-screen-left, z up).
+        to_handle = np.asarray(obs_row[20:23], np.float64)
+        hand = (int(handle[0] - (-to_handle[0]) * scale),
+                int(handle[1] + to_handle[2] * scale))
+        hx = np.clip(hand[0], 4, width - 5)
+        hy = np.clip(hand[1], 4, height - 5)
+        img[hy - 4:hy + 4, hx - 4:hx + 4] = (77, 77, 204)
+        return img

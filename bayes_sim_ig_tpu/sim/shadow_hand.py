@@ -561,3 +561,53 @@ class ShadowHand(Task):
 
     def early_termination(self, state, params):
         return self._cube_fallen(state) | (self._rot_dist(state) < 0.1)
+
+    # ------------------------------------------------------------------ #
+    def render_obs_frame(self, obs_row, height=200, width=200):
+        """Top-down schematic from one observation row for the
+        RealSurrogate/video surface (collect_trajectories.py:40-41,81-83
+        in the reference; our IG task wrappers had no renderer before
+        round 3 — this exceeds reference parity, which renders Pendulum
+        only): palm patch, cube position/yaw (filled square), goal yaw
+        (outline square), and a side bar for the cube height."""
+        img = np.full((height, width, 3), 255, np.uint8)
+        cx, cy = width // 2, height // 2
+        scale = width / 0.5                      # 0.5 m field of view
+
+        def line(p0, p1, color, w=1):
+            n_pts = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1)) + 1
+            xs = np.linspace(p0[0], p1[0], n_pts).astype(int)
+            ys = np.linspace(p0[1], p1[1], n_pts).astype(int)
+            for dx in range(-w, w + 1):
+                for dy in range(-w, w + 1):
+                    img[np.clip(ys + dy, 0, height - 1),
+                        np.clip(xs + dx, 0, width - 1)] = color
+
+        def square(center, half_px, yaw, color, w=1):
+            c, s = np.cos(yaw), np.sin(yaw)
+            pts = [(center[0] + half_px * (c * sx - s * sy),
+                    center[1] - half_px * (s * sx + c * sy))
+                   for sx, sy in ((-1, -1), (1, -1), (1, 1), (-1, 1))]
+            for a in range(4):
+                line(pts[a], pts[(a + 1) % 4], color, w)
+
+        def yaw_of(quat):
+            w_, x, y, z = quat
+            return float(np.arctan2(2 * (w_ * z + x * y),
+                                    1 - 2 * (y * y + z * z)))
+
+        # Palm patch (the 0.12 half-size contact plane).
+        square((cx, cy), 0.12 * scale, 0.0, (160, 160, 160), 1)
+        rel = np.asarray(obs_row[48:51], np.float64)
+        cube_q = np.asarray(obs_row[51:55], np.float64)
+        goal_q = np.asarray(obs_row[61:65], np.float64)
+        cube_px = (cx + rel[0] * scale, cy - rel[1] * scale)
+        square(cube_px, CUBE_HALF * scale, yaw_of(cube_q),
+               (204, 77, 77), 2)
+        square((cx, cy), CUBE_HALF * scale, yaw_of(goal_q),
+               (77, 77, 204), 1)
+        # Cube height bar on the left (rel z in [-0.25, 0.25]).
+        z_frac = float(np.clip((rel[2] + 0.25) / 0.5, 0.0, 1.0))
+        top = int((1.0 - z_frac) * (height - 1))
+        img[top:, 2:8] = (90, 170, 90)
+        return img

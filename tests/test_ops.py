@@ -140,7 +140,8 @@ class TestTreeSolve:
     @pytest.mark.parametrize("task_mod,builder", [
         ("shadow_hand", "build_hand_model"),
         ("ant", "build_ant_model"),
-        ("humanoid", "build_humanoid_model"),
+        pytest.param("humanoid", "build_humanoid_model",
+                     marks=pytest.mark.heavy),  # slow FK compile
     ])
     def test_matches_dense_solve(self, task_mod, builder):
         import importlib

@@ -147,6 +147,7 @@ class TestDynamicsOracles:
 
 
 class TestBatchConsistency:
+    @pytest.mark.heavy  # 39 s: the slowest single test; CI full suite
     def test_batched_equals_stacked_single_env(self):
         # The natively-batched engine on (N, ..) inputs must equal N
         # independent single-env calls (catches any batch-axis mixing).

@@ -67,16 +67,16 @@ def _steps_finite(task_name):
 
 # Fast default profile steps the cheap-compiling tasks; the expensive
 # compiles (20-30 s each on CPU) run in the full (heavy) suite.
-@pytest.mark.parametrize("task_name", ["Pendulum", "Cartpole", "Ant",
-                                       "Anymal"])
+@pytest.mark.parametrize("task_name", ["Pendulum", "Cartpole", "Ant"])
 def test_steps_finite(task_name):
     _steps_finite(task_name)
 
 
 @pytest.mark.heavy
-@pytest.mark.parametrize("task_name", ["BallBalance", "FrankaCabinet",
-                                       "Humanoid", "Ingenuity",
-                                       "Quadcopter", "ShadowHand"])
+@pytest.mark.parametrize("task_name", ["Anymal", "BallBalance",
+                                       "FrankaCabinet", "Humanoid",
+                                       "Ingenuity", "Quadcopter",
+                                       "ShadowHand"])
 def test_steps_finite_heavy(task_name):
     _steps_finite(task_name)
 
@@ -167,7 +167,8 @@ def test_whole_actor_scale_dr(task_name):
 
 
 @pytest.mark.parametrize("task_name", ["Pendulum", "Cartpole", "Ant",
-                                       "BallBalance"])
+                                       "BallBalance", "ShadowHand",
+                                       "FrankaCabinet"])
 def test_render_obs_frame(task_name):
     # RealSurrogate/video surface (reference collect_trajectories.py:
     # 40-41,81-83): tasks with renderers must produce valid uint8 frames
