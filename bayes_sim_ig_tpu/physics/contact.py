@@ -77,11 +77,11 @@ def contact_points(model: ArticulatedModel) -> Tuple[np.ndarray, np.ndarray,
 
 
 def _fold(mat, x):
-    """(r, s) static mask x (s, .., N) -> (r, .., N) as one 2D matmul."""
-    shape = x.shape
-    out = jnp.matmul(jnp.asarray(mat, x.dtype), x.reshape(shape[0], -1),
-                     precision=_HI)
-    return out.reshape((mat.shape[0],) + shape[1:])
+    """(r, s) static mask x (s, .., N) -> (r, .., N) as one dot_general
+    with trailing free dims (no reshape — merging tile-padded middle dims
+    with the minor axis forces a physical relayout on TPU)."""
+    return jax.lax.dot_general(jnp.asarray(mat, x.dtype), x,
+                               (((1,), (0,)), ((), ())), precision=_HI)
 
 
 def _mv(A, x):
@@ -247,9 +247,9 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
     g_p[np.arange(P), np.asarray(plane_links)] = 1.0
 
     def gather(mat):
-        R = _fold(mat, kin.R_w.reshape(model.nb, -1)).reshape(P, 3, 3, n)
-        p = _fold(mat, kin.p_w.reshape(model.nb, -1)).reshape(P, 3, n)
-        vl = _fold(mat, kin.v.reshape(model.nb, -1)).reshape(P, 6, n)
+        R = _fold(mat, kin.R_w)
+        p = _fold(mat, kin.p_w)
+        vl = _fold(mat, kin.v)
         return R, p, vl
 
     R_s, p_s, v_s = gather(g_s)
@@ -292,8 +292,7 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
     force = n_w * f_n_mag[:, None, :] + f_t                    # on spheres
     wr_s = jnp.concatenate([_cross(contact_pt - p_s, force), force], 1)
     wr_p = jnp.concatenate([_cross(contact_pt - p_p, -force), -force], 1)
-    out = _fold(g_s.T, wr_s.reshape(P, -1)).reshape(model.nb, 6, n) + \
-        _fold(g_p.T, wr_p.reshape(P, -1)).reshape(model.nb, 6, n)
+    out = _fold(g_s.T, wr_s) + _fold(g_p.T, wr_p)
     return out[..., 0] if single else out
 
 
@@ -333,9 +332,9 @@ def ground_contact_forces(model: ArticulatedModel, kin, params: DynParams,
 
     gather = np.zeros((P, model.nb), np.float32)
     gather[np.arange(P), links] = 1.0
-    R = _fold(gather, kin.R_w.reshape(model.nb, -1)).reshape(P, 3, 3, n)
-    p0 = _fold(gather, kin.p_w.reshape(model.nb, -1)).reshape(P, 3, n)
-    v_link = _fold(gather, kin.v.reshape(model.nb, -1)).reshape(P, 6, n)
+    R = _fold(gather, kin.R_w)
+    p0 = _fold(gather, kin.p_w)
+    v_link = _fold(gather, kin.v)
     centers = p0 + _mv(R, offsets_j)
     # Forces act at the sphere surface touching the plane, not the center —
     # the lever arm below the COM is what converts sliding into rolling.
@@ -366,5 +365,5 @@ def ground_contact_forces(model: ArticulatedModel, kin, params: DynParams,
     force = f_t.at[:, 2].set(f_n)       # (P, 3, N) world force at pts
     torque = _cross(arm, force)         # about link origin, world frame
     wrench = jnp.concatenate([torque, force], 1)                # (P, 6, N)
-    out = _fold(gather.T, wrench.reshape(P, -1)).reshape(model.nb, 6, n)
+    out = _fold(gather.T, wrench)
     return out[..., 0] if single else out

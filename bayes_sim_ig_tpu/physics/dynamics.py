@@ -1,5 +1,5 @@
 """Forward dynamics for articulated trees: FK, RNEA bias, CRBA mass matrix,
-dense SPD solve, semi-implicit integration.
+tree-sparse LTDL solve, semi-implicit integration.
 
 Replaces the PhysX reduced-coordinate articulation solver the reference
 drives through Isaac Gym (SURVEY.md §2.2). TPU-first design, validated by
@@ -7,21 +7,27 @@ measurement on the target chip:
 
   * ENV-LAST ("structure of arrays") layout: inside the engine every
     tensor carries the env batch on the MINOR axis — R_w is (nb, 3, 3, N),
-    joint subspaces are (nv, 6, N), mass matrices are (nv, nv, N). The
-    vector lanes are fully used by envs; structure dims (3, 6, nv) live on
-    unpadded leading axes. The env-first layout ((N, nb, 3, 3), batched
-    matmuls) measures 15x slower at 16k envs — every op pads its tiny
-    minor dims to the 128-lane tile and wastes ~40x HBM bandwidth;
+    joint subspaces are (nv, 6, N). The vector lanes are fully used by
+    envs; structure dims (3, 6, nv) live on leading axes. The env-first
+    layout ((N, nb, 3, 3), batched matmuls) measures 15x slower at 16k
+    envs — every op pads its tiny minor dims to the 128-lane tile and
+    wastes ~40x HBM bandwidth;
   * small fixed-size contractions (3x3, 6x6) are UNROLLED into sums of
     elementwise products on (.., N) slices — they fuse into a few VPU
     kernels. einsums with a trailing batch axis are NOT used: XLA
     re-transposes them into batch-major dot_generals (measured 20x slower
     than the unrolled form);
-  * tree-structure contractions (ancestor masks, level scatter/gather,
-    contact-point accumulation) FOLD the trailing dims into one big minor
-    axis and become plain 2D matmuls: V = (anc @ Sv.reshape(nv, 6N))
-    .reshape(nb, 6, N) — MXU work with perfect layout, no scatters
-    (TPU scatter lowering is serial);
+  * tree-structure contractions (ancestor masks, one-hot scatter/gather,
+    contact-point accumulation) are dot_generals with TRAILING FREE dims
+    (``_fold``) — never reshape-merged into the minor axis (merging
+    tile-padded middle dims with the lane axis is a physical relayout;
+    profiling showed reshape+copy ops eating ~40% of the ShadowHand step
+    until round 3 removed every hot-path reshape and ``.at[]`` row
+    write), and never TPU scatters (serial lowering);
+  * spatial inertias ride in a PACKED 10-parameter form (symmetric 3x3
+    block, first moment, mass — see ``_i10_direct``): composite-inertia
+    accumulation stays a linear fold and no (.., 6, 6, N) tensor exists
+    in the hot path;
   * spatial quantities live in world Plücker coordinates about a floating
     reference point (the first root's position), where the tree structure
     enters only through those static 0/1 masks; the reference point keeps
@@ -30,11 +36,12 @@ measurement on the target chip:
     tree): ceil(log2(depth+1)) rounds of one-hot-gather + unrolled
     compose instead of `depth` sequential levels — Humanoid's
     phantom-link chains give depth 10, which collapses to 4 rounds;
-  * the (M + ...) qdd = rhs solve feeds ops/spd_kernel.py's lanes-layout
-    column Cholesky DIRECTLY (the lhs is assembled as (nv, nv, N)):
-    XLA's cholesky/triangular_solve custom calls cost 4.4-56 ms per
-    rollout step at these shapes; the fused unrolled form is ~100x
-    cheaper;
+  * the (M + ...) qdd = rhs solve builds CRBA entries ONLY at dof-tree
+    ancestor pairs and runs the branch-sparse LTDL of ops/tree_solve.py
+    (ShadowHand: 136 of 465 lower-triangle entries, ~14x fewer
+    factorization flops than a dense elimination; XLA's own cholesky/
+    triangular_solve custom calls cost 4.4-56 ms per rollout step at
+    these shapes);
   * joint damping (and PD derivative gains) are handled implicitly by
     folding ``dt * d`` into the LHS, which keeps large randomized
     damping/stiffness draws stable at 1/60 s steps;
@@ -114,13 +121,14 @@ def _cross(a, b):
 
 
 def _fold(mat, x):
-    """Static-mask contraction as one 2D matmul: mat (r, s) numpy/const,
-    x (s, d1, .., N) -> (r, d1, .., N). Folds all trailing dims into the
-    minor axis (reshapes are layout-free)."""
-    shape = x.shape
-    out = jnp.matmul(jnp.asarray(mat, x.dtype),
-                     x.reshape(shape[0], -1), precision=_HI)
-    return out.reshape((mat.shape[0],) + shape[1:])
+    """Static-mask contraction over the leading axis: mat (r, s)
+    numpy/const, x (s, d1, .., N) -> (r, d1, .., N), as ONE dot_general
+    with trailing free dims. No reshape: merging the tile-padded middle
+    dims (3, 4, 6, ..) with the minor lane axis forces a PHYSICAL
+    relayout on TPU — profiling round 3 showed reshape+copy ops eating
+    ~40% of the ShadowHand step before this change."""
+    return jax.lax.dot_general(jnp.asarray(mat, x.dtype), x,
+                               (((1,), (0,)), ((), ())), precision=_HI)
 
 
 def _quat_to_rot_rows(q4):
@@ -212,9 +220,25 @@ def _structure(model: ArticulatedModel):
     j1_to_v[model.j1_v, np.arange(nj)] = 1.0
     dof_from_link = np.zeros((nv, nb), np.float32)       # V_o per dof link
     dof_from_link[np.arange(nv), model.dof_link] = 1.0
+    # Free-joint scatters + static row masks (fold-adds replace .at[]
+    # row writes, which copy the whole destination array per write).
+    free = model.free_list
+    free_to_links = np.zeros((nb, len(free)), np.float32)
+    free_to_v = np.zeros((nv, 6 * len(free)), np.float32)
+    for f_i, (i, qi, vi) in enumerate(free):
+        free_to_links[i, f_i] = 1.0
+        free_to_v[vi:vi + 6, 6 * f_i:6 * (f_i + 1)] = np.eye(6)
+    fixed_rows = np.ones(nb, np.float32)                 # neither j1 nor free
+    fixed_rows[model.j1_links] = 0.0
+    nonfree_rows = np.ones(nb, np.float32)
+    for (i, qi, vi) in free:
+        fixed_rows[i] = 0.0
+        nonfree_rows[i] = 0.0
     s = dict(jump_gathers=jump_gathers,
              j1_from_links=j1_from_links, j1_to_links=j1_to_links,
-             j1_to_v=j1_to_v, dof_from_link=dof_from_link)
+             j1_to_v=j1_to_v, dof_from_link=dof_from_link,
+             free_to_links=free_to_links, free_to_v=free_to_v,
+             fixed_rows=fixed_rows, nonfree_rows=nonfree_rows)
     model._el_structure = s
     return s
 
@@ -237,10 +261,14 @@ def forward_kinematics(model: ArticulatedModel, q, v_dof,
     vT = _el(v_dof)                                       # (nv, N)
     scale = jnp.broadcast_to(jnp.asarray(params.scale), (n,))  # (N,)
 
-    # --- local child->parent transforms (R_loc = E^T, r_loc), env-last. - #
+    # --- local child->parent transforms (R_loc = E^T, r_loc), env-last.
+    # Base covers the static rows; 1-dof and free rows come in as
+    # fold-ADDS over one-hot scatters (disjoint static rows — no .at[]
+    # row writes, which copy the whole array per write). -------------- #
     E_tT = jnp.asarray(model.joint_rot_T, jnp.float32)    # (nb, 3, 3)
-    R_loc = jnp.broadcast_to(E_tT[..., None], (nb, 3, 3, n))
-    r_loc = jnp.asarray(model.joint_pos,
+    fixed = st["fixed_rows"][:, None, None]
+    R_loc = jnp.broadcast_to((E_tT * fixed)[..., None], (nb, 3, 3, n))
+    r_loc = jnp.asarray(model.joint_pos * st["nonfree_rows"][:, None],
                         jnp.float32)[..., None] * scale   # (nb, 3, N)
     if model.j1_links.size:
         q1 = qT[model.j1_q]                               # (nj, N)
@@ -260,42 +288,41 @@ def forward_kinematics(model: ArticulatedModel, q, v_dof,
                        cos + az * az * one], 1)], 1)      # (nj, 3, 3, N)
         E1 = jnp.broadcast_to(E_tT[model.j1_links][..., None],
                               (len(model.j1_links), 3, 3, n))
-        R1 = _mm(E1, Rj)
-        R_loc = _fold(st["j1_to_links"],
-                      R1.reshape(len(model.j1_links), -1)).reshape(
-            nb, 3, 3, n) + R_loc * (1.0 - jnp.asarray(
-                st["j1_to_links"].sum(1))[:, None, None, None])
-        # Prismatic translation along E_t^T @ axis by q.
+        R_loc = R_loc + _fold(st["j1_to_links"], _mm(E1, Rj))
+        # Prismatic translation along E_t^T @ axis by q (zero for
+        # revolute rows, so an unconditional fold-add is exact).
         ax_par = np.einsum("jik,jk->ji", model.joint_rot_T[model.j1_links],
                            model.j1_axis)                 # (nj, 3) static
         pris = q1 * (1.0 - rev)                           # (nj, N)
-        r1 = r_loc[model.j1_links] + \
-            jnp.asarray(ax_par, jnp.float32)[..., None] * pris[:, None, :]
-        r_loc = _fold(st["j1_to_links"],
-                      r1.reshape(len(model.j1_links), -1)).reshape(
-            nb, 3, n) + r_loc * (1.0 - jnp.asarray(
-                st["j1_to_links"].sum(1))[:, None, None])
-    for (i, qi, vi) in model.free_list:
-        R_loc = R_loc.at[i].set(_quat_to_rot_rows(qT[qi + 3:qi + 7]))
-        r_loc = r_loc.at[i].set(qT[qi:qi + 3])
+        r_loc = r_loc + _fold(
+            st["j1_to_links"],
+            jnp.asarray(ax_par, jnp.float32)[..., None] * pris[:, None, :])
+    if model.free_list:
+        R_free = jnp.concatenate(
+            [_quat_to_rot_rows(qT[qi + 3:qi + 7])[None]
+             for (i, qi, vi) in model.free_list], 0)      # (F, 3, 3, N)
+        r_free = jnp.concatenate(
+            [qT[qi:qi + 3][None] for (i, qi, vi) in model.free_list], 0)
+        R_loc = R_loc + _fold(st["free_to_links"], R_free)
+        r_loc = r_loc + _fold(st["free_to_links"], r_free)
 
     # --- pointer-jumping propagation (log-depth parallel prefix): ------- #
-    # M_i = (R, p) as a (3, 4) block accumulates the transform chain from
-    # each link toward the root; round k composes every link with its
-    # 2^k-th ancestor's accumulated segment ((R1,p1)∘(R2,p2) =
-    # (R1 R2, p1 + R1 p2) is associative). Virtual root nb = identity.
-    M = jnp.concatenate([R_loc, r_loc[:, :, None, :]], 2)  # (nb, 3, 4, N)
-    root = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3)[..., None], (3, 3, n)),
-         jnp.zeros((3, 1, n))], 1)[None]
-    M = jnp.concatenate([M, root], 0)                       # (nb+1,3,4,N)
+    # (R_i, p_i) accumulates the transform chain from each link toward
+    # the root; round k composes every link with its 2^k-th ancestor's
+    # accumulated segment ((R1,p1)∘(R2,p2) = (R1 R2, p1 + R1 p2) is
+    # associative). Virtual root nb = identity. R and p stay SEPARATE
+    # arrays (concatenating into a (3, 4) block and re-slicing forced a
+    # physical relayout per round).
+    Rc = jnp.concatenate(
+        [R_loc, jnp.broadcast_to(jnp.eye(3)[None, ..., None],
+                                 (1, 3, 3, n))], 0)        # (nb+1,3,3,N)
+    pc = jnp.concatenate([r_loc, jnp.zeros((1, 3, n))], 0)
     for g in st["jump_gathers"]:
-        A = _fold(g, M.reshape(nb + 1, -1)).reshape(nb + 1, 3, 4, n)
-        A_R, A_p = A[:, :, 0:3], A[:, :, 3]
-        R_new = _mm(A_R, M[:, :, 0:3])
-        p_new = A_p + _mv(A_R, M[:, :, 3])
-        M = jnp.concatenate([R_new, p_new[:, :, None, :]], 2)
-    R_w, p_w = M[:nb, :, 0:3], M[:nb, :, 3]
+        A_R = _fold(g, Rc)
+        A_p = _fold(g, pc)
+        Rc = _mm(A_R, Rc)
+        pc = A_p + _mv(A_R, pc)
+    R_w, p_w = Rc[:nb], pc[:nb]
 
     # --- world-Plücker dof subspaces about o = first root position. ----- #
     o = p_w[0]                                            # (3, N)
@@ -311,19 +338,21 @@ def forward_kinematics(model: ArticulatedModel, q, v_dof,
         rev = jnp.asarray(model.j1_rev)[:, None, None]
         rows = jnp.concatenate([aw * rev,
                                 mom * rev + aw * (1.0 - rev)], 1)
-        S_o = _fold(st["j1_to_v"], rows.reshape(nj, -1)).reshape(
-            nv, 6, n)
-    for (i, qi, vi) in model.free_list:
-        # Angular dof k: [R e_k; (p-o) x R e_k]; linear dof k: [0; R e_k].
-        RT = jnp.swapaxes(R_w[i], 0, 1)                   # rows e_k: (3,3,N)
-        momf = _cross(jnp.broadcast_to(rel[i][None], (3, 3, n)), RT)
-        S_o = S_o.at[vi:vi + 3].set(jnp.concatenate([RT, momf], 1))
-        S_o = S_o.at[vi + 3:vi + 6].set(
-            jnp.concatenate([jnp.zeros_like(RT), RT], 1))
+        S_o = _fold(st["j1_to_v"], rows)
+    if model.free_list:
+        free_rows = []
+        for (i, qi, vi) in model.free_list:
+            # Angular dof k: [R e_k; (p-o) x R e_k]; linear: [0; R e_k].
+            RT = jnp.swapaxes(R_w[i], 0, 1)               # rows e_k (3,3,N)
+            momf = _cross(jnp.broadcast_to(rel[i][None], (3, 3, n)), RT)
+            free_rows.append(jnp.concatenate([RT, momf], 1))
+            free_rows.append(jnp.concatenate([jnp.zeros_like(RT), RT], 1))
+        S_o = S_o + _fold(st["free_to_v"],
+                          jnp.concatenate(free_rows, 0))
 
     # --- link velocities: V_b = sum_m anc[b, m] S_o[m] v[m]. ------------ #
     Sv_o = S_o * vT[:, None, :]
-    V_o = _fold(model.anc_dof, Sv_o.reshape(nv, -1)).reshape(nb, 6, n)
+    V_o = _fold(model.anc_dof, Sv_o)
 
     # Body-frame [w; vl] at each link origin for contacts/tasks.
     w_w = V_o[:, :3]
@@ -473,15 +502,14 @@ def _bias_from_i10(model: ArticulatedModel, kin: Kinematics, I10,
     st = _structure(model)
     nv, nb = model.nv, model.nb
     n = kin.V_o.shape[-1]
-    Vd = _fold(st["dof_from_link"],
-               kin.V_o.reshape(nb, -1)).reshape(nv, 6, n)
+    Vd = _fold(st["dof_from_link"], kin.V_o)
     Sv = kin.Sv_o
     dSa = _cross(Vd[:, :3], Sv[:, :3])
     dSl = _cross(Vd[:, :3], Sv[:, 3:]) + _cross(Vd[:, 3:], Sv[:, :3])
     Sdot_v = jnp.concatenate([dSa, dSl], 1)               # (nv, 6, N)
     grav = jnp.broadcast_to(jnp.asarray(params.gravity).T.reshape(3, -1),
                             (3, n))
-    a = _fold(model.anc_dof, Sdot_v.reshape(nv, -1)).reshape(nb, 6, n)
+    a = _fold(model.anc_dof, Sdot_v)
     a = a.at[:, 3:].add(-grav[None])
     IV = _i10_mv(I10, kin.V_o)
     Ia = _i10_mv(I10, a)
@@ -493,7 +521,7 @@ def _bias_from_i10(model: ArticulatedModel, kin: Kinematics, I10,
         rel = kin.p_w - kin.o[None]
         n_o = f_ext_world[:, :3] + _cross(rel, f_ext_world[:, 3:])
         f = f - jnp.concatenate([n_o, f_ext_world[:, 3:]], 1)
-    F = _fold(model.anc_dof.T, f.reshape(nb, -1)).reshape(nv, 6, n)
+    F = _fold(model.anc_dof.T, f)
     return jnp.sum(F * kin.S_o, 1)                        # (nv, N)
 
 
@@ -503,7 +531,7 @@ def _mass_factors_i10(model: ArticulatedModel, kin: Kinematics, I10):
     Returns (nv, 6, N)."""
     nb, nv = model.nb, model.nv
     n = I10.shape[-1]
-    IC = _fold(model.anc_dof.T, I10.reshape(nb, -1)).reshape(nv, 10, n)
+    IC = _fold(model.anc_dof.T, I10)
     return _i10_mv(IC, kin.S_o)
 
 
@@ -539,15 +567,14 @@ def _bias_from_plucker(model: ArticulatedModel, kin: Kinematics, I_o,
     st = _structure(model)
     nv, nb = model.nv, model.nb
     n = kin.V_o.shape[-1]
-    Vd = _fold(st["dof_from_link"],
-               kin.V_o.reshape(nb, -1)).reshape(nv, 6, n)
+    Vd = _fold(st["dof_from_link"], kin.V_o)
     Sv = kin.Sv_o
     dSa = _cross(Vd[:, :3], Sv[:, :3])
     dSl = _cross(Vd[:, :3], Sv[:, 3:]) + _cross(Vd[:, 3:], Sv[:, :3])
     Sdot_v = jnp.concatenate([dSa, dSl], 1)               # (nv, 6, N)
     grav = jnp.broadcast_to(jnp.asarray(params.gravity).T.reshape(3, -1),
                             (3, n))
-    a = _fold(model.anc_dof, Sdot_v.reshape(nv, -1)).reshape(nb, 6, n)
+    a = _fold(model.anc_dof, Sdot_v)
     a = a.at[:, 3:].add(-grav[None])
     IV = _mv(I_o, kin.V_o, n=6)
     Ia = _mv(I_o, a, n=6)
@@ -559,7 +586,7 @@ def _bias_from_plucker(model: ArticulatedModel, kin: Kinematics, I_o,
         rel = kin.p_w - kin.o[None]
         n_o = f_ext_world[:, :3] + _cross(rel, f_ext_world[:, 3:])
         f = f - jnp.concatenate([n_o, f_ext_world[:, 3:]], 1)
-    F = _fold(model.anc_dof.T, f.reshape(nb, -1)).reshape(nv, 6, n)
+    F = _fold(model.anc_dof.T, f)
     return jnp.sum(F * kin.S_o, 1)                        # (nv, N)
 
 
@@ -569,7 +596,7 @@ def _mass_factors_plucker(model: ArticulatedModel, kin: Kinematics, I_o):
     Returns (nv, 6, N)."""
     nb, nv = model.nb, model.nv
     n = I_o.shape[-1]
-    IC = _fold(model.anc_dof.T, I_o.reshape(nb, -1)).reshape(nv, 6, 6, n)
+    IC = _fold(model.anc_dof.T, I_o)
     return _mv(IC, kin.S_o, n=6)
 
 
