@@ -56,6 +56,8 @@ env-last (trailing N), squeezed for single-env calls.
 
 from __future__ import annotations
 
+import os
+
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -120,15 +122,45 @@ def _cross(a, b):
                       a0 * b1 - a1 * b0], -2)
 
 
-def _fold(mat, x):
+def _phys_bf16() -> bool:
+    """Opt-out bf16 for bandwidth-bound inertia/bias intermediates
+    (BSIM_PHYS_BF16: '1' = on TPU [default], 'force' = everywhere [tests],
+    '0' = off). The remaining hot ops measure at ~peak HBM bandwidth
+    (round-3 trace), so halving their bytes is the lever; every
+    contraction still ACCUMULATES in f32 and the mass matrix, LTDL solve
+    and integration stay f32 (a ~0.4% relative perturbation of inertia
+    and bias terms — far below the DR parameter ranges the engine is
+    randomized over — in exchange for ~2x on those ops)."""
+    v = os.environ.get("BSIM_PHYS_BF16", "1")
+    return v == "force" or (v == "1" and jax.default_backend() == "tpu")
+
+
+def _fold(mat, x, out_dtype=None):
     """Static-mask contraction over the leading axis: mat (r, s)
     numpy/const, x (s, d1, .., N) -> (r, d1, .., N), as ONE dot_general
     with trailing free dims. No reshape: merging the tile-padded middle
     dims (3, 4, 6, ..) with the minor lane axis forces a PHYSICAL
     relayout on TPU — profiling round 3 showed reshape+copy ops eating
-    ~40% of the ShadowHand step before this change."""
+    ~40% of the ShadowHand step before this change.
+
+    bf16 inputs accumulate in f32 on the MXU (default precision — HIGHEST
+    would trigger multi-pass emulation) and return bf16 unless
+    ``out_dtype`` overrides; f32 inputs keep HIGHEST precision."""
+    if x.dtype == jnp.bfloat16:
+        out = jax.lax.dot_general(
+            jnp.asarray(mat, jnp.bfloat16), x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out if out_dtype == jnp.float32 \
+            else out.astype(jnp.bfloat16)
     return jax.lax.dot_general(jnp.asarray(mat, x.dtype), x,
                                (((1,), (0,)), ((), ())), precision=_HI)
+
+
+def _c16(x):
+    """Casts a fold operand to bf16 when the bf16 path is on (the convert
+    fuses into the producer fusion's output, halving its HBM write and
+    the consumer dot's read)."""
+    return x.astype(jnp.bfloat16) if _phys_bf16() else x
 
 
 def _quat_to_rot_rows(q4):
@@ -475,7 +507,8 @@ def _i10_direct(kin: Kinematics, params: DynParams):
             ric(1, 2) - mass * cy * cz,
             mass * cx, mass * cy, mass * cz,
             jnp.broadcast_to(mass, c2.shape)]
-    return jnp.stack(rows, 1)                              # (nb, 10, N)
+    out = jnp.stack(rows, 1)                               # (nb, 10, N)
+    return _c16(out)
 
 
 def _i10_mv(I10, V):
@@ -502,14 +535,14 @@ def _bias_from_i10(model: ArticulatedModel, kin: Kinematics, I10,
     st = _structure(model)
     nv, nb = model.nv, model.nb
     n = kin.V_o.shape[-1]
-    Vd = _fold(st["dof_from_link"], kin.V_o)
+    Vd = _fold(st["dof_from_link"], _c16(kin.V_o), out_dtype=jnp.float32)
     Sv = kin.Sv_o
     dSa = _cross(Vd[:, :3], Sv[:, :3])
     dSl = _cross(Vd[:, :3], Sv[:, 3:]) + _cross(Vd[:, 3:], Sv[:, :3])
     Sdot_v = jnp.concatenate([dSa, dSl], 1)               # (nv, 6, N)
     grav = jnp.broadcast_to(jnp.asarray(params.gravity).T.reshape(3, -1),
                             (3, n))
-    a = _fold(model.anc_dof, Sdot_v)
+    a = _fold(model.anc_dof, _c16(Sdot_v), out_dtype=jnp.float32)
     a = a.at[:, 3:].add(-grav[None])
     IV = _i10_mv(I10, kin.V_o)
     Ia = _i10_mv(I10, a)
@@ -521,7 +554,7 @@ def _bias_from_i10(model: ArticulatedModel, kin: Kinematics, I10,
         rel = kin.p_w - kin.o[None]
         n_o = f_ext_world[:, :3] + _cross(rel, f_ext_world[:, 3:])
         f = f - jnp.concatenate([n_o, f_ext_world[:, 3:]], 1)
-    F = _fold(model.anc_dof.T, f)
+    F = _fold(model.anc_dof.T, _c16(f), out_dtype=jnp.float32)
     return jnp.sum(F * kin.S_o, 1)                        # (nv, N)
 
 

@@ -149,7 +149,11 @@ def bench_articulated(task_name, cfg_file, n_envs, ep_len):
     run_k(1, jax.random.PRNGKey(0))  # compile + warm, fetched
     best = 0.0
     for rep in range(2):
-        K = 2
+        # One host fetch per K rounds; the tunnel's fixed fetch cost
+        # (~80 ms measured) is amortized over K as the protocol states,
+        # so K = 6 keeps the number honest without drowning it in the
+        # per-batch round trip.
+        K = 6
         t0 = time.perf_counter()
         run_k(K, jax.random.PRNGKey(rep + 1))
         dt = time.perf_counter() - t0
