@@ -67,6 +67,7 @@ import jax.numpy as jnp
 
 from .model import ArticulatedModel, DynParams
 from .spatial import hat
+from ..ops.spd_kernel import spd_solve_lanes
 from ..ops.tree_solve import ancestor_pairs, ltdl_solve
 
 _HI = jax.lax.Precision.HIGHEST
@@ -730,21 +731,42 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
     diag_extra = armT + 1e-6
     if dt is not None:
         diag_extra = diag_extra + dt * dampT
-    # Tree-sparse mass matrix: CRBA entries are built ONLY at the
-    # ancestor pairs of the dof tree (M[k, i] = F_k . S_i, k deeper) and
-    # solved by the branch-sparse LTDL in ops/tree_solve.py — for
-    # ShadowHand that is 136 of 465 lower-triangle entries and ~14x fewer
-    # factorization flops than the dense lanes Cholesky.
+    # Mass matrix + solve, picked by the tree's measured sparsity
+    # (BSIM_TREE_SOLVE=auto|1|0): CRBA entries exist only at dof-tree
+    # ancestor pairs, and when they are sparse enough — ShadowHand: 128
+    # of 465 lower-triangle entries, ~14x fewer factorization flops —
+    # the branch-sparse LTDL of ops/tree_solve.py wins decisively. For
+    # near-dense trees (Ant: a 6-dof free-base block + shallow 2-dof
+    # legs = 77% of the triangle) the column-blocked dense lanes
+    # Cholesky is faster than the LTDL's many tiny lane ops. A/B on the
+    # v5e through the full collection path placed the crossover between
+    # Humanoid (0.643 dense pairs: tree 3.63M vs dense 3.35M steps/s)
+    # and Anymal (0.684: tree 2.87M vs dense 6.34M); Ant (0.771) dense
+    # 6.8M vs tree 4.4M, ShadowHand (0.275) tree 3.4-3.7M vs 2.3M-era
+    # dense. Threshold 0.66 picks the measured winner for every model.
     F = _mass_factors_i10(model, kin, I10)                 # (nv, 6, N)
     S = kin.S_o
     chains = model.dof_anc_chains
-    M = {}
-    for (k, i) in ancestor_pairs(chains):
-        M[(k, i)] = sum(F[k, c] * S[i, c] for c in range(6))
-    for k in range(model.nv):
-        M[(k, k)] = M[(k, k)] + diag_extra[k]
-    qdd = jnp.stack(
-        ltdl_solve(chains, M, [rhs[k] for k in range(model.nv)]), 0).T
+    pairs = ancestor_pairs(chains)
+    mode = os.environ.get("BSIM_TREE_SOLVE", "auto")
+    n_tri = model.nv * (model.nv + 1) // 2
+    use_tree = (mode == "1" or
+                (mode == "auto" and len(pairs) <= 0.66 * n_tri))
+    if use_tree:
+        M = {}
+        for (k, i) in pairs:
+            M[(k, i)] = sum(F[k, c] * S[i, c] for c in range(6))
+        for k in range(model.nv):
+            M[(k, k)] = M[(k, k)] + diag_extra[k]
+        qdd = jnp.stack(
+            ltdl_solve(chains, M, [rhs[k] for k in range(model.nv)]), 0).T
+        return qdd, kin
+    Ml = sum(F[:, None, c, :] * S[None, :, c, :] for c in range(6))
+    Ml = Ml * jnp.asarray(model.crba_mask)[:, :, None]
+    diag = Ml * jnp.eye(model.nv)[:, :, None]
+    Ml = Ml + jnp.swapaxes(Ml, 0, 1) - diag
+    lhs = Ml + jnp.eye(model.nv)[:, :, None] * diag_extra[None, :, :]
+    qdd = spd_solve_lanes(lhs, rhs).T
     return qdd, kin
 
 
