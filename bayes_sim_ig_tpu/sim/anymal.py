@@ -227,3 +227,58 @@ class Anymal(Task):
 
     def early_termination(self, state, params):
         return self._base_down(state)
+
+    def render_obs_frame(self, obs_row, height=200, width=200):
+        """Side-view schematic from one observation row for the
+        RealSurrogate/video surface (reference collect_trajectories.py:
+        40-41,81-83; exceeds reference parity — the reference renders
+        Pendulum only). The obs is egocentric, so the body is drawn at
+        nominal height, pitched by the measured gravity direction, with
+        the four legs posed by their thigh/shank angles and command-vs-
+        actual velocity arrows on top."""
+        obs = np.asarray(obs_row, np.float64)
+        grav = obs[6:9]                       # gravity dir in base frame
+        pitch = np.arctan2(grav[0], -grav[2])
+        dof = obs[12:24]                      # (hip, thigh, shank) x 4
+        img = np.full((height, width, 3), 255, np.uint8)
+        scale = width / 2.0                   # 2 m field of view
+        cx = width // 2
+        gy = height - int(0.08 * height)
+        img[gy:gy + 2, :] = (120, 120, 120)   # ground
+        by = gy - int(BASE_Z * scale * 0.8)
+
+        def line(x0, y0, x1, y1, color, thick=1):
+            n = max(int(abs(x1 - x0)), int(abs(y1 - y0)), 1)
+            xs = np.linspace(x0, x1, n).astype(int)
+            ys = np.linspace(y0, y1, n).astype(int)
+            for dx in range(-thick, thick + 1):
+                for dy in range(-thick, thick + 1):
+                    img[np.clip(ys + dy, 0, height - 1),
+                        np.clip(xs + dx, 0, width - 1)] = color
+
+        half = 0.28 * scale
+        c, s = np.cos(pitch), np.sin(pitch)
+        line(cx - int(half * c), by - int(half * s),
+             cx + int(half * c), by + int(half * s),
+             (150, 111, 214), 3)
+        for i, (nm, fx, _) in enumerate(LEGS):
+            hx = cx + int(fx * half * c)
+            hy = by + int(fx * half * s)
+            _, th_def, sh_def = DEFAULT_ANGLES[nm]
+            th = pitch + th_def + dof[3 * i + 1]
+            kx = hx + int(THIGH_LEN * scale * np.sin(th))
+            ky = hy + int(THIGH_LEN * scale * np.cos(th))
+            line(hx, hy, kx, ky, (80, 80, 80), 1)
+            sh = th + sh_def + dof[3 * i + 2]
+            fx2 = kx + int(SHANK_LEN * scale * np.sin(sh))
+            fy2 = ky + int(SHANK_LEN * scale * np.cos(sh))
+            line(kx, ky, fx2, fy2, (40, 40, 40), 1)
+        # Command (blue) vs actual (green) forward velocity, top strip.
+        cmd_vx = obs[9] / self.lin_vel_scale
+        act_vx = obs[0] / self.lin_vel_scale
+        y0 = int(0.08 * height)
+        line(cx, y0, cx + int(np.clip(cmd_vx, -1, 1) * 0.4 * width), y0,
+             (77, 77, 204), 1)
+        line(cx, y0 + 6, cx + int(np.clip(act_vx, -1, 1) * 0.4 * width),
+             y0 + 6, (90, 170, 90), 1)
+        return img

@@ -151,6 +151,47 @@ class _FlyerBase(Task):
     def early_termination(self, state, params):
         return self._crashed(state)
 
+    def render_obs_frame(self, obs_row, height=200, width=200):
+        """Side-view (x-z) schematic from one observation row for the
+        RealSurrogate/video surface (reference collect_trajectories.py:
+        40-41,81-83; exceeds reference parity — the reference renders
+        Pendulum only): hover-target crosshair at the frame center, the
+        craft at its target-relative position with a rotor bar tilted by
+        the base quaternion's pitch, and a velocity arrow."""
+        obs = np.asarray(obs_row, np.float64)
+        rel = obs[0:3]                      # target - position
+        w, x, y, z = obs[3:7]
+        pitch = np.arctan2(2 * (x * z + w * y),
+                           1 - 2 * (x * x + y * y))
+        v = obs[7:10]
+        img = np.full((height, width, 3), 255, np.uint8)
+        scale = width / 8.0                 # 8 m field of view
+        cx, cy = width // 2, height // 2
+
+        def line(x0, y0, x1, y1, color, thick=1):
+            n = max(int(abs(x1 - x0)), int(abs(y1 - y0)), 1)
+            xs = np.linspace(x0, x1, n).astype(int)
+            ys = np.linspace(y0, y1, n).astype(int)
+            for dx in range(-thick, thick + 1):
+                for dy in range(-thick, thick + 1):
+                    img[np.clip(ys + dy, 0, height - 1),
+                        np.clip(xs + dx, 0, width - 1)] = color
+
+        line(cx - 5, cy, cx + 5, cy, (90, 170, 90), 1)   # target cross
+        line(cx, cy - 5, cx, cy + 5, (90, 170, 90), 1)
+        bx = cx - int(rel[0] * scale)       # body = target - rel
+        by = cy + int(rel[2] * scale)
+        yy, xx = np.ogrid[:height, :width]
+        r = max(3, int(0.02 * width))
+        img[(xx - bx) ** 2 + (yy - by) ** 2 <= r * r] = (150, 111, 214)
+        arm = 0.06 * width
+        c, s = np.cos(pitch), np.sin(pitch)
+        line(bx - int(arm * c), by - int(arm * s),
+             bx + int(arm * c), by + int(arm * s), (40, 40, 40), 1)
+        line(bx, by, bx + int(v[0] * scale * 0.5),
+             by - int(v[2] * scale * 0.5), (204, 77, 77), 1)
+        return img
+
 
 # --------------------------------------------------------------------- #
 class Ingenuity(_FlyerBase):
@@ -339,3 +380,47 @@ class Quadcopter(_FlyerBase):
         return jnp.concatenate([rel, quat, v_lin, v_ang,
                                 state.q[:, arm_q_idx],
                                 state.v[:, arm_v_idx]], axis=-1)
+
+    def render_obs_frame(self, obs_row, height=200, width=200):
+        """Top-down (x-y) schematic overriding the side-view base
+        renderer: the X-frame's four arms rotated by the base yaw and
+        foreshortened by their observed tilt angles (obs[13:17]),
+        target crosshair from the relative-position obs, planar
+        velocity arrow."""
+        obs = np.asarray(obs_row, np.float64)
+        rel = obs[0:3]
+        w, x, y, z = obs[3:7]
+        yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+        v = obs[7:10]
+        tilts = obs[13:17]
+        img = np.full((height, width, 3), 255, np.uint8)
+        scale = width / 8.0
+        cx, cy = width // 2, height // 2
+
+        def line(x0, y0, x1, y1, color, thick=1):
+            n = max(int(abs(x1 - x0)), int(abs(y1 - y0)), 1)
+            xs = np.linspace(x0, x1, n).astype(int)
+            ys = np.linspace(y0, y1, n).astype(int)
+            for dx in range(-thick, thick + 1):
+                for dy in range(-thick, thick + 1):
+                    img[np.clip(ys + dy, 0, height - 1),
+                        np.clip(xs + dx, 0, width - 1)] = color
+
+        tx = cx + int(rel[0] * scale)        # target, body at center
+        ty = cy - int(rel[1] * scale)
+        line(tx - 5, ty, tx + 5, ty, (90, 170, 90), 1)
+        line(tx, ty - 5, tx, ty + 5, (90, 170, 90), 1)
+        yy, xx = np.ogrid[:height, :width]
+        r = max(3, int(0.02 * width))
+        img[(xx - cx) ** 2 + (yy - cy) ** 2 <= r * r] = (150, 111, 214)
+        arm = 0.08 * width
+        for i, d in enumerate(self.ARM_DIRS):
+            ang = yaw + np.arctan2(d[1], d[0])
+            ln = arm * max(np.cos(tilts[i]), 0.2)
+            ex = cx + int(ln * np.cos(ang))
+            ey = cy - int(ln * np.sin(ang))
+            line(cx, cy, ex, ey, (40, 40, 40), 1)
+            img[(xx - ex) ** 2 + (yy - ey) ** 2 <= 9] = (80, 80, 80)
+        line(cx, cy, cx + int(v[0] * scale * 0.5),
+             cy - int(v[1] * scale * 0.5), (204, 77, 77), 1)
+        return img

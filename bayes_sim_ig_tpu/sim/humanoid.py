@@ -315,3 +315,66 @@ class Humanoid(Task):
 
     def early_termination(self, state, params):
         return state.q[:, 2] < self.termination_height
+
+    def render_obs_frame(self, obs_row, height=200, width=200):
+        """Side-view stick figure from one observation row for the
+        RealSurrogate/video surface (reference collect_trajectories.py:
+        40-41,81-83; exceeds reference parity — the reference renders
+        Pendulum only): pelvis at the observed torso height, torso
+        leaned by the base quaternion's pitch, legs posed by hip_y/knee
+        (obs dof order = TREE_DOFS), arms drawn schematically from
+        shoulder2/elbow."""
+        obs = np.asarray(obs_row, np.float64)
+        z, quat = obs[0], obs[1:5]
+        dof = obs[13:34]                         # 21, TREE_DOFS order
+        w, x, y, zq = quat
+        # Torso z-axis projected onto the world x-z plane.
+        lean = np.arctan2(2 * (x * zq + w * y),
+                          1 - 2 * (x * x + y * y))
+        img = np.full((height, width, 3), 255, np.uint8)
+        scale = height / 2.2                      # 2.2 m field of view
+        cx = width // 2
+        gy = height - int(0.06 * height)
+        img[gy:gy + 2, :] = (120, 120, 120)       # ground
+        py = gy - int(np.clip(z, 0.1, 2.0) * scale * 0.7)
+
+        def line(x0, y0, x1, y1, color, thick=1):
+            n = max(int(abs(x1 - x0)), int(abs(y1 - y0)), 1)
+            xs = np.linspace(x0, x1, n).astype(int)
+            ys = np.linspace(y0, y1, n).astype(int)
+            for dx in range(-thick, thick + 1):
+                for dy in range(-thick, thick + 1):
+                    img[np.clip(ys + dy, 0, height - 1),
+                        np.clip(xs + dx, 0, width - 1)] = color
+
+        torso_len = 0.45 * scale
+        tx = cx + int(torso_len * np.sin(lean))
+        ty = py - int(torso_len * np.cos(lean))
+        line(cx, py, tx, ty, (150, 111, 214), 2)
+        r = max(3, int(0.09 * scale))
+        yy, xx = np.ogrid[:height, :width]
+        hx = tx + int(1.5 * r * np.sin(lean))
+        hy = ty - int(1.5 * r * np.cos(lean))
+        img[(xx - hx) ** 2 + (yy - hy) ** 2 <= r * r] = (150, 111, 214)
+        # Legs: right dofs at [3:9], left at [12:18]; hip_y is the 3rd
+        # entry of each 6-dof leg block, knee the 4th.
+        for off, color in ((3, (40, 40, 40)), (12, (120, 120, 120))):
+            hip = lean + dof[off + 2]
+            kx = cx + int(0.34 * scale * np.sin(hip))
+            ky = py + int(0.34 * scale * np.cos(hip))
+            line(cx, py, kx, ky, color, 1)
+            knee = hip + dof[off + 3]
+            fx = kx + int(0.33 * scale * np.sin(knee))
+            fy = ky + int(0.33 * scale * np.cos(knee))
+            line(kx, ky, fx, fy, color, 1)
+        # Arms: shoulder2/elbow of each 3-dof arm block ([9:12], [18:21]).
+        for off, color in ((9, (40, 40, 40)), (18, (120, 120, 120))):
+            sh = lean + np.pi + 0.6 * dof[off + 1]
+            ex = tx + int(0.25 * scale * np.sin(sh))
+            ey = ty - int(0.25 * scale * np.cos(sh))
+            line(tx, ty, ex, ey, color, 1)
+            el = sh + 0.6 * dof[off + 2]
+            wx2 = ex + int(0.23 * scale * np.sin(el))
+            wy2 = ey - int(0.23 * scale * np.cos(el))
+            line(ex, ey, wx2, wy2, color, 1)
+        return img

@@ -168,7 +168,9 @@ def test_whole_actor_scale_dr(task_name):
 
 @pytest.mark.parametrize("task_name", ["Pendulum", "Cartpole", "Ant",
                                        "BallBalance", "ShadowHand",
-                                       "FrankaCabinet"])
+                                       "FrankaCabinet", "Anymal",
+                                       "Humanoid", "Ingenuity",
+                                       "Quadcopter"])
 def test_render_obs_frame(task_name):
     # RealSurrogate/video surface (reference collect_trajectories.py:
     # 40-41,81-83): tasks with renderers must produce valid uint8 frames
