@@ -59,13 +59,12 @@ def _solve_xla(A, b):
     return jax.scipy.linalg.cho_solve((chol, True), b)
 
 
-def _chol_lanes_core(At, bt):
-    """Unrolled column-Cholesky + substitutions in lanes layout:
-    At (n, n, N) SPD systems, bt (n, N) -> x (n, N).
-
-    Lt[k] holds column k of L as an (n, N) row-block; each column step is
-    one einsum over the already-built columns plus one fused
-    sqrt/mask/scale — all dense over the N lanes."""
+def _chol_lanes_factor(At):
+    """Unrolled column-Cholesky in lanes layout: At (n, n, N) SPD ->
+    Lt (n, n, N) with Lt[k] holding column k of L as an (n, N) row-block;
+    each column step is one einsum over the already-built columns plus
+    one fused sqrt/mask/scale — all dense over the N lanes. The factor is
+    reusable across right-hand sides (``_chol_lanes_substitute``)."""
     n = At.shape[0]
     Lt = jnp.zeros_like(At)
     rows = jnp.arange(n)[:, None]
@@ -79,6 +78,13 @@ def _chol_lanes_core(At, bt):
         d = jnp.where(raw[j] > 0.0, jnp.sqrt(jnp.maximum(raw[j], 1e-30)),
                       jnp.nan)
         Lt = Lt.at[j].set(jnp.where(rows >= j, raw / d, 0.0))
+    return Lt
+
+
+def _chol_lanes_substitute(Lt, bt):
+    """Forward+back substitution against a ``_chol_lanes_factor`` result:
+    (n, n, N) x (n, N) -> (n, N)."""
+    n = Lt.shape[0]
     y = jnp.zeros_like(bt)
     for i in range(n):
         acc = bt[i]
@@ -92,6 +98,11 @@ def _chol_lanes_core(At, bt):
             acc = acc - jnp.sum(Lt[i, i + 1:] * x[i + 1:], 0)
         x = x.at[i].set(acc / Lt[i, i])
     return x
+
+
+def _chol_lanes_core(At, bt):
+    """Factor + substitute in one call (see the two halves above)."""
+    return _chol_lanes_substitute(_chol_lanes_factor(At), bt)
 
 
 # --------------------------------------------------------------------- #
@@ -184,6 +195,25 @@ def spd_solve_lanes(At, bt):
     if _use_pallas_solver():
         return _pallas_lanes_vjp(At, bt)
     return _chol_lanes_core(At, bt)
+
+
+def spd_factor_lanes(At):
+    """Factorizes At (n, n, N) once for reuse against multiple right-hand
+    sides via ``spd_substitute_lanes`` (e.g. across physics substeps).
+    The payload is backend-specific: the Cholesky columns on the TPU jnp
+    path, the raw systems where refactorization is the only option
+    (pallas opt-in, CPU LAPACK)."""
+    if not _use_tpu_path() or _use_pallas_solver():
+        return ("raw", At)
+    return ("chol_lanes", _chol_lanes_factor(At))
+
+
+def spd_substitute_lanes(factor, bt):
+    """Solves against an ``spd_factor_lanes`` result: (n, N) rhs -> x."""
+    kind, payload = factor
+    if kind == "raw":
+        return spd_solve_lanes(payload, bt)
+    return _chol_lanes_substitute(payload, bt)
 
 
 def spd_solve(A, b):

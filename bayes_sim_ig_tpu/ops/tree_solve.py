@@ -47,21 +47,17 @@ def ancestor_pairs(chains: Sequence[Sequence[int]]) -> List[Tuple[int, int]]:
     return pairs
 
 
-def ltdl_solve(chains: Sequence[Sequence[int]],
-               M: Dict[Tuple[int, int], jnp.ndarray],
-               b_rows: Sequence[jnp.ndarray]):
-    """Solves M x = b for SPD tree-sparse systems in lanes layout.
-
-    chains: per-dof proper-ancestor lists (static python structure).
-    M: dict {(k, i): (N,) value} over exactly ``ancestor_pairs(chains)``
-    (lower triangle incl. diagonal; the caller builds CRBA entries only
-    at these pairs). b_rows: length-nv sequence of (N,) rows. Returns the
-    list of nv (N,) solution rows. Consumes its inputs functionally (the
-    dict is copied)."""
+def ltdl_factor(chains: Sequence[Sequence[int]],
+                M: Dict[Tuple[int, int], jnp.ndarray]):
+    """Factorizes M = L^T D L for an SPD tree-sparse system in lanes
+    layout. Returns (L, D): L a dict {(k, i): (N,)} over the off-diagonal
+    ancestor pairs, D a length-nv list of (N,) pivots (NaN where the
+    pivot is non-positive — the NaN-propagating policy of the module
+    docstring). The factor is reusable across multiple right-hand sides
+    (``ltdl_substitute``), e.g. across a step's physics substeps."""
     nv = len(chains)
     H = dict(M)
     parent = [ch[0] if ch else -1 for ch in chains]
-    # --- factorize: H = L^T D L (diag of H becomes D, off-diag L). ------ #
     for k in range(nv - 1, -1, -1):
         i = parent[k]
         while i >= 0:
@@ -72,10 +68,17 @@ def ltdl_solve(chains: Sequence[Sequence[int]],
                 j = parent[j]
             H[(k, i)] = a
             i = parent[i]
-    # NaN-propagating pivot policy (see module docstring).
     D = [jnp.where(H[(k, k)] > 0.0, H[(k, k)], jnp.nan)
          for k in range(nv)]
-    # --- substitute: z = L^-T b; z /= D; x = L^-1 z. -------------------- #
+    return H, D
+
+
+def ltdl_substitute(chains: Sequence[Sequence[int]], factor,
+                    b_rows: Sequence[jnp.ndarray]):
+    """Solves (L^T D L) x = b given an ``ltdl_factor`` result:
+    z = L^-T b; z /= D; x = L^-1 z. Returns the list of nv (N,) rows."""
+    H, D = factor
+    nv = len(chains)
     x = list(b_rows)
     for k in range(nv - 1, -1, -1):
         for i in chains[k]:
@@ -87,3 +90,17 @@ def ltdl_solve(chains: Sequence[Sequence[int]],
             acc = acc - H[(k, i)] * x[i]
         x[k] = acc
     return x
+
+
+def ltdl_solve(chains: Sequence[Sequence[int]],
+               M: Dict[Tuple[int, int], jnp.ndarray],
+               b_rows: Sequence[jnp.ndarray]):
+    """Solves M x = b for SPD tree-sparse systems in lanes layout.
+
+    chains: per-dof proper-ancestor lists (static python structure).
+    M: dict {(k, i): (N,) value} over exactly ``ancestor_pairs(chains)``
+    (lower triangle incl. diagonal; the caller builds CRBA entries only
+    at these pairs). b_rows: length-nv sequence of (N,) rows. Returns the
+    list of nv (N,) solution rows. Consumes its inputs functionally (the
+    dict is copied)."""
+    return ltdl_substitute(chains, ltdl_factor(chains, M), b_rows)

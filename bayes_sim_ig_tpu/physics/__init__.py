@@ -9,7 +9,7 @@ topology unrolled at trace time.
 from .model import ArticulatedModel, LinkSpec, Geom, DynParams, JOINT_DOF
 from .dynamics import (
     forward_kinematics, forward_dynamics, integrate, mass_matrix,
-    bias_forces, clamp_limits, dof_positions,
+    bias_forces, clamp_limits, dof_positions, carried_mass_factor,
 )
 from .contact import ground_contact_forces, contact_points
 
@@ -17,5 +17,6 @@ __all__ = [
     "ArticulatedModel", "LinkSpec", "Geom", "DynParams", "JOINT_DOF",
     "forward_kinematics", "forward_dynamics", "integrate", "mass_matrix",
     "bias_forces", "clamp_limits", "dof_positions",
+    "carried_mass_factor",
     "ground_contact_forces", "contact_points",
 ]

@@ -67,8 +67,9 @@ import jax.numpy as jnp
 
 from .model import ArticulatedModel, DynParams
 from .spatial import hat
-from ..ops.spd_kernel import spd_solve_lanes
-from ..ops.tree_solve import ancestor_pairs, ltdl_solve
+from ..ops.spd_kernel import (spd_factor_lanes, spd_solve_lanes,
+                              spd_substitute_lanes)
+from ..ops.tree_solve import ancestor_pairs, ltdl_factor, ltdl_substitute
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -146,15 +147,21 @@ def _fold(mat, x, out_dtype=None):
 
     bf16 inputs accumulate in f32 on the MXU (default precision — HIGHEST
     would trigger multi-pass emulation) and return bf16 unless
-    ``out_dtype`` overrides; f32 inputs keep HIGHEST precision."""
+    ``out_dtype`` overrides. f32 inputs use HIGH (3-pass bf16x3) on TPU:
+    ~6e-5 relative vs HIGHEST's exact f32 — two orders below the default
+    bf16 storage path's own perturbation — for half the MXU passes on
+    what the round-3 trace shows as the single largest per-step op class
+    (the dynamics folds). ``BSIM_FOLD_HIGHEST=1`` restores 6-pass."""
     if x.dtype == jnp.bfloat16:
         out = jax.lax.dot_general(
             jnp.asarray(mat, jnp.bfloat16), x, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return out if out_dtype == jnp.float32 \
             else out.astype(jnp.bfloat16)
+    prec = _HI if os.environ.get("BSIM_FOLD_HIGHEST", "0") == "1" \
+        else jax.lax.Precision.HIGH
     return jax.lax.dot_general(jnp.asarray(mat, x.dtype), x,
-                               (((1,), (0,)), ((), ())), precision=_HI)
+                               (((1,), (0,)), ((), ())), precision=prec)
 
 
 def _c16(x):
@@ -680,6 +687,26 @@ def _promote_kin(kin: Kinematics) -> Kinematics:
     return jax.tree_util.tree_map(lambda a: a[..., None], kin)
 
 
+def carried_mass_factor(factor):
+    """Gate for the frozen-mass-matrix substep scheme (opt-in,
+    ``BSIM_FROZEN_MASS=1``): returns the factor carried from the previous
+    substep so ``forward_dynamics`` skips the CRBA build + factorization,
+    or None (default) for a fresh factorization every substep.
+
+    Measured on the v5e (round 3, full collection rounds, K-slope):
+    freezing LOSES on this runtime — ShadowHand@16k 229 vs 198 ms/round,
+    Humanoid@4096 62 vs 47 — because keeping the ~|pairs| factor rows
+    live across the substep boundary costs more in buffer traffic than
+    the skipped (already op-overhead-bound) refactorization saves. It
+    also degrades stiff PD-servo chains (FrankaCabinet's tracking test
+    fails frozen: stale M + stiff drives pump energy). Kept opt-in for
+    runtimes where the tradeoff lands the other way; accuracy contract
+    tested in test_physics.py (step-1 deviation O(h^2 |qd| dM))."""
+    if os.environ.get("BSIM_FROZEN_MASS", "0") != "1":
+        return None
+    return factor
+
+
 def joint_passive_torque(model: ArticulatedModel, params: DynParams, q_dof,
                          v_dof):
     """Parallel joint springs toward 0, viscous damping handled implicitly
@@ -700,7 +727,8 @@ def dof_positions(model: ArticulatedModel, q):
 
 def forward_dynamics(model: ArticulatedModel, q, v, tau,
                      params: DynParams, f_ext_world=None, dt=None,
-                     kin: Optional[Kinematics] = None):
+                     kin: Optional[Kinematics] = None,
+                     factor=None, return_factor: bool = False):
     """qdd = (M + diag(armature) + dt*diag(damping))^-1 (tau - C - d v).
 
     Viscous joint damping is integrated implicitly (see module docstring):
@@ -708,12 +736,23 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
     ``dt*d`` onto the LHS and ``-d v`` into the RHS. Pass a precomputed
     ``kin`` (e.g. the one used for contact forces) to skip recomputing FK.
     ``f_ext_world`` is env-last (nb, 6, N) for batched calls, (nb, 6) for
-    single-env ones (matching the contact functions' output)."""
+    single-env ones (matching the contact functions' output).
+
+    ``factor``/``return_factor`` let a caller reuse the mass-matrix
+    factorization across a step's physics substeps (M varies only by
+    O(h |qd|) between substeps while bias/contact forces are recomputed
+    fresh — the standard frozen-mass-matrix substep scheme): pass
+    ``return_factor=True`` to get ``(qdd, kin, factor)`` and feed that
+    ``factor`` back in on the next substep, skipping the CRBA build and
+    the factorization (the round-3 trace's largest post-FK cost). The
+    payload is solver-specific and opaque."""
     if q.ndim == 1:
         qdd, kin1 = forward_dynamics(
             model, q[None], v[None], tau[None], _promote(params),
             None if f_ext_world is None else f_ext_world[..., None], dt,
             None if kin is None else _promote_kin(kin))
+        if return_factor:
+            return qdd[0], _squeeze_last(kin1), None
         return qdd[0], _squeeze_last(kin1)
     if kin is None:
         kin = forward_kinematics(model, q, v, params)
@@ -744,29 +783,38 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
     # and Anymal (0.684: tree 2.87M vs dense 6.34M); Ant (0.771) dense
     # 6.8M vs tree 4.4M, ShadowHand (0.275) tree 3.4-3.7M vs 2.3M-era
     # dense. Threshold 0.66 picks the measured winner for every model.
-    F = _mass_factors_i10(model, kin, I10)                 # (nv, 6, N)
-    S = kin.S_o
     chains = model.dof_anc_chains
     pairs = ancestor_pairs(chains)
     mode = os.environ.get("BSIM_TREE_SOLVE", "auto")
     n_tri = model.nv * (model.nv + 1) // 2
     use_tree = (mode == "1" or
                 (mode == "auto" and len(pairs) <= 0.66 * n_tri))
-    if use_tree:
-        M = {}
-        for (k, i) in pairs:
-            M[(k, i)] = sum(F[k, c] * S[i, c] for c in range(6))
-        for k in range(model.nv):
-            M[(k, k)] = M[(k, k)] + diag_extra[k]
+    if factor is None:
+        F = _mass_factors_i10(model, kin, I10)             # (nv, 6, N)
+        S = kin.S_o
+        if use_tree:
+            M = {}
+            for (k, i) in pairs:
+                M[(k, i)] = sum(F[k, c] * S[i, c] for c in range(6))
+            for k in range(model.nv):
+                M[(k, k)] = M[(k, k)] + diag_extra[k]
+            factor = ("tree", ltdl_factor(chains, M))
+        else:
+            Ml = sum(F[:, None, c, :] * S[None, :, c, :] for c in range(6))
+            Ml = Ml * jnp.asarray(model.crba_mask)[:, :, None]
+            diag = Ml * jnp.eye(model.nv)[:, :, None]
+            Ml = Ml + jnp.swapaxes(Ml, 0, 1) - diag
+            lhs = Ml + jnp.eye(model.nv)[:, :, None] * diag_extra[None, :, :]
+            factor = ("dense", spd_factor_lanes(lhs))
+    kind, payload = factor
+    if kind == "tree":
         qdd = jnp.stack(
-            ltdl_solve(chains, M, [rhs[k] for k in range(model.nv)]), 0).T
-        return qdd, kin
-    Ml = sum(F[:, None, c, :] * S[None, :, c, :] for c in range(6))
-    Ml = Ml * jnp.asarray(model.crba_mask)[:, :, None]
-    diag = Ml * jnp.eye(model.nv)[:, :, None]
-    Ml = Ml + jnp.swapaxes(Ml, 0, 1) - diag
-    lhs = Ml + jnp.eye(model.nv)[:, :, None] * diag_extra[None, :, :]
-    qdd = spd_solve_lanes(lhs, rhs).T
+            ltdl_substitute(chains, payload,
+                            [rhs[k] for k in range(model.nv)]), 0).T
+    else:
+        qdd = spd_substitute_lanes(payload, rhs).T
+    if return_factor:
+        return qdd, kin, factor
     return qdd, kin
 
 

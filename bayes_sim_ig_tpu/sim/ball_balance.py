@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from ..dr import TaskNames, build_params_spec
 from ..physics import (
     ArticulatedModel, LinkSpec, Geom, DynParams,
-    forward_kinematics, forward_dynamics, integrate, clamp_limits,
+    forward_kinematics, forward_dynamics, integrate,
+    carried_mass_factor, clamp_limits,
     ground_contact_forces,
 )
 from ..physics.contact import sphere_plane_pair_forces
@@ -189,7 +190,7 @@ class BallBalance(Task):
             jnp.clip(actions, -1, 1) * 20.0)
 
         def substep(carry, _):
-            q, v = carry
+            q, v, factor = carry
             kin = forward_kinematics(m, q, v, dp)
             f_ext = ground_contact_forces(m, kin, dp, dt=h)
             f_ext = f_ext + sphere_plane_pair_forces(
@@ -198,20 +199,23 @@ class BallBalance(Task):
                 plane_link=0, plane_point=(0, 0, 0.02),
                 plane_normal=(0, 0, 1), mu=1.0, dt=h,
                 plane_halfsize=TRAY_R)
-            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h,
-                                      kin=kin)
+            qdd, _, factor = forward_dynamics(
+                m, q, v, tau, dp, f_ext, dt=h, kin=kin,
+                factor=carried_mass_factor(factor), return_factor=True)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
-            return (q, v), None
+            return (q, v, factor), None
 
         # Unrolled substep loop: a nested lax.scan would add one more
         # while-loop level, and each loop iteration carries a large fixed
         # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
-        # substeps into the step graph is strictly cheaper.
-        carry = (state.q, state.v)
+        # substeps into the step graph is strictly cheaper. The carried
+        # factor enables the opt-in frozen-mass substep scheme
+        # (BSIM_FROZEN_MASS=1; measured slower here, dynamics.py).
+        carry = (state.q, state.v, None)
         for _ in range(self.substeps):
             carry, _ = substep(carry, None)
-        q, v = carry
+        q, v, _ = carry
         return BBotState(q=q, v=v)
 
     def _ball_rel(self, state):

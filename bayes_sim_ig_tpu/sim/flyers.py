@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..dr import TaskNames, build_params_spec
 from ..physics import (
     ArticulatedModel, LinkSpec, DynParams, forward_dynamics, integrate,
-    clamp_limits,
+    clamp_limits, carried_mass_factor,
 )
 from ..physics.spatial import quat_to_rot
 from .task import Task
@@ -100,7 +100,7 @@ class _FlyerBase(Task):
         thrust = jax.vmap(self._thrust_forces)
 
         def substep(carry, _):
-            q, v = carry
+            q, v, factor = carry
             # vmapped per-env thrust gives (N, nb, 6); the engine consumes
             # env-last (nb, 6, N).
             f_ext = jnp.moveaxis(thrust(q, actions, params), 0, -1)
@@ -109,19 +109,23 @@ class _FlyerBase(Task):
                 tau = tau.at[:, dof_idx].set(
                     self.kp * (targets - q[:, qoffs])
                     - self.kd * v[:, dof_idx])
-            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h)
+            qdd, _, factor = forward_dynamics(
+                m, q, v, tau, dp, f_ext, dt=h,
+                factor=carried_mass_factor(factor), return_factor=True)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
-            return (q, v), None
+            return (q, v, factor), None
 
         # Unrolled substep loop: a nested lax.scan would add one more
         # while-loop level, and each loop iteration carries a large fixed
         # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
-        # substeps into the step graph is strictly cheaper.
-        carry = (state.q, state.v)
+        # substeps into the step graph is strictly cheaper. The carried
+        # factor enables the opt-in frozen-mass substep scheme
+        # (BSIM_FROZEN_MASS=1; measured slower here, dynamics.py).
+        carry = (state.q, state.v, None)
         for _ in range(self.substeps):
             carry, _ = substep(carry, None)
-        q, v = carry
+        q, v, _ = carry
         return FlyerState(q=q, v=v)
 
     def _kinematics_obs(self, state):

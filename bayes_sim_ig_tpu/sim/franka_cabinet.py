@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from ..dr import TaskNames, build_params_spec
 from ..physics import (
     ArticulatedModel, LinkSpec, Geom, DynParams,
-    forward_kinematics, forward_dynamics, integrate, clamp_limits,
+    forward_kinematics, forward_dynamics, integrate,
+    carried_mass_factor, clamp_limits,
 )
 from ..physics.contact import sphere_plane_pair_forces
 from .task import Task
@@ -217,7 +218,7 @@ class FrankaCabinet(Task):
         dof_q = jnp.asarray(self._dof_q)
 
         def substep(carry, _):
-            q, v = carry
+            q, v, factor = carry
             tau = jnp.zeros((q.shape[0], m.nv)).at[:, dof_v].set(
                 jnp.clip(kp * (targets - q[:, dof_q]) - kd * v[:, dof_v],
                          -87.0, 87.0))
@@ -233,20 +234,23 @@ class FrankaCabinet(Task):
                     plane_point=(0.0, sy * 0.008, 0.045),
                     plane_normal=(0.0, sy, 0.0), mu=1.5, dt=h,
                     plane_halfsize=0.025)
-            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h,
-                                      kin=kin)
+            qdd, _, factor = forward_dynamics(
+                m, q, v, tau, dp, f_ext, dt=h, kin=kin,
+                factor=carried_mass_factor(factor), return_factor=True)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
-            return (q, v), None
+            return (q, v, factor), None
 
         # Unrolled substep loop: a nested lax.scan would add one more
         # while-loop level, and each loop iteration carries a large fixed
         # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
-        # substeps into the step graph is strictly cheaper.
-        carry = (state.q, state.v)
+        # substeps into the step graph is strictly cheaper. The carried
+        # factor enables the opt-in frozen-mass substep scheme
+        # (BSIM_FROZEN_MASS=1; measured slower here, dynamics.py).
+        carry = (state.q, state.v, None)
         for _ in range(self.substeps):
             carry, _ = substep(carry, None)
-        q, v = carry
+        q, v, _ = carry
         return FrankaState(q=q, v=v, targets=targets)
 
     def _hand_to_handle(self, state):

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from ..dr import TaskNames, build_params_spec
 from ..physics import (
     ArticulatedModel, LinkSpec, Geom, DynParams,
-    forward_kinematics, forward_dynamics, integrate, clamp_limits,
+    forward_kinematics, forward_dynamics, integrate,
+    carried_mass_factor, clamp_limits,
 )
 from ..physics.contact import sphere_plane_pairs_forces
 from ..physics.spatial import quat_to_rot, quat_mul
@@ -484,7 +485,7 @@ class ShadowHand(Task):
             return nrm, nrm * cube_half[None, None, :]
 
         def substep(carry, _):
-            q, v = carry
+            q, v, factor = carry
             tau = jnp.zeros((q.shape[0], m.nv)).at[:, act_v].set(
                 jnp.clip(kp * (targets - q[:, act_q]) - kd * v[:, act_v],
                          -3.0, 3.0))
@@ -506,20 +507,23 @@ class ShadowHand(Task):
                 m, kin, dp, sphere_links, sph_off, radii, plane_links,
                 plane_pts, plane_nrms, mu_pairs, dt=h,
                 plane_halfsizes=halfsizes)
-            qdd, _ = forward_dynamics(m, q, v, tau, dp, f_ext, dt=h,
-                                      kin=kin)
+            qdd, _, factor = forward_dynamics(
+                m, q, v, tau, dp, f_ext, dt=h, kin=kin,
+                factor=carried_mass_factor(factor), return_factor=True)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
-            return (q, v), None
+            return (q, v, factor), None
 
         # Unrolled substep loop: a nested lax.scan would add one more
         # while-loop level, and each loop iteration carries a large fixed
         # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
-        # substeps into the step graph is strictly cheaper.
-        carry = (state.q, state.v)
+        # substeps into the step graph is strictly cheaper. The carried
+        # factor enables the opt-in frozen-mass substep scheme
+        # (BSIM_FROZEN_MASS=1; measured slower here, dynamics.py).
+        carry = (state.q, state.v, None)
         for _ in range(self.substeps):
             carry, _ = substep(carry, None)
-        q, v = carry
+        q, v, _ = carry
         return HandState(q=q, v=v, goal_quat=state.goal_quat,
                          prev_actions=jnp.clip(actions, -1, 1),
                          gravity_dz=state.gravity_dz)

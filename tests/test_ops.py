@@ -56,6 +56,22 @@ class TestSpdSolve:
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_factor_substitute_matches_solve(self):
+        """spd_factor_lanes + spd_substitute_lanes == spd_solve_lanes for
+        several right-hand sides (frozen-mass substep contract)."""
+        from bayes_sim_ig_tpu.ops.spd_kernel import (
+            spd_factor_lanes, spd_solve_lanes, spd_substitute_lanes)
+        A, b = self._spd(5, 9, seed=4)
+        At = jnp.transpose(A, (1, 2, 0))
+        fac = spd_factor_lanes(At)
+        for seed in (5, 6):
+            b2 = jnp.asarray(
+                np.random.RandomState(seed).randn(9, 5).astype(np.float32))
+            x_fac = spd_substitute_lanes(fac, b2)
+            x_ref = spd_solve_lanes(At, b2)
+            np.testing.assert_allclose(np.asarray(x_fac), np.asarray(x_ref),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_pallas_kernel_interpret_matches(self):
         # Cheap (4 systems, nv=9) and the ONLY correctness coverage of the
         # opt-in BSIM_SPD_PALLAS path — runs in the default profile so the
@@ -175,6 +191,32 @@ class TestTreeSolve:
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
         resid = M @ got - b
         assert np.abs(resid).max() < 1e-4 * max(np.abs(b).max(), 1.0)
+
+    def test_factor_reuse_multiple_rhs(self):
+        """ltdl_factor once + ltdl_substitute per rhs == ltdl_solve per
+        rhs (the frozen-mass substep scheme's contract)."""
+        from bayes_sim_ig_tpu.ops.tree_solve import (
+            ancestor_pairs, ltdl_factor, ltdl_solve, ltdl_substitute)
+        chains = [[], [0], [1, 0], [0], [3, 0]]  # branching 5-dof tree
+        pairs = ancestor_pairs(chains)
+        rs = np.random.RandomState(3)
+        L = np.eye(5) + np.tril(rs.rand(5, 5), -1) * 0.3
+        M5 = L @ L.T + np.eye(5) * 2.0
+        mask = np.zeros((5, 5), bool)
+        for (k, i) in pairs:
+            mask[k, i] = mask[i, k] = True
+        M5 = np.where(mask, M5, 0.0)  # restrict to the tree sparsity
+        Mp = {(k, i): jnp.full((3,), M5[k, i]) for (k, i) in pairs}
+        fac = ltdl_factor(chains, Mp)
+        for seed in (0, 1):
+            b = np.random.RandomState(seed).randn(5, 3)
+            rows_fac = ltdl_substitute(chains, fac,
+                                       [jnp.asarray(b[k]) for k in range(5)])
+            rows_ref = ltdl_solve(chains, Mp,
+                                  [jnp.asarray(b[k]) for k in range(5)])
+            np.testing.assert_allclose(np.asarray(jnp.stack(rows_fac)),
+                                       np.asarray(jnp.stack(rows_ref)),
+                                       rtol=1e-6)
 
     def test_indefinite_propagates_nan(self):
         from bayes_sim_ig_tpu.ops.tree_solve import (ancestor_pairs,

@@ -491,3 +491,40 @@ class TestBf16Path:
         # perturbation, far below the 0.1-10x DR ranges; measured +6.7%
         # ShadowHand collection throughput on the real chip.
         assert err < 0.05 * scale, (err, scale)
+
+
+class TestFrozenMassSubsteps:
+    def test_frozen_vs_fresh_single_step(self, monkeypatch):
+        """The opt-in frozen-mass substep scheme (BSIM_FROZEN_MASS=1:
+        mass factorization computed at the first substep, reused by the
+        second — dynamics.py carried_mass_factor) perturbs one physics
+        step by O(h^2 |qd| dM): well under 1% of the state scale on Ant;
+        the default remains per-substep refactorization."""
+        import yaml
+        from bayes_sim_ig_tpu.sim import make_env
+        cfg = yaml.safe_load(open(
+            "bayes_sim_ig_tpu/cfg/ant.yaml"))
+        cfg["env"]["numEnvs"] = 8
+        task = make_env("Ant", cfg).task
+        key = jax.random.PRNGKey(0)
+        spec = task.params_spec
+        params = jax.random.uniform(
+            key, (8, spec.lows.size), minval=jnp.asarray(spec.lows),
+            maxval=jnp.asarray(spec.highs))
+        state = task.init_state(key, params)
+        act = jnp.tile(jnp.linspace(-0.5, 0.5, task.act_dim)[None], (8, 1))
+
+        monkeypatch.delenv("BSIM_FROZEN_MASS", raising=False)
+        fresh = task.physics_step(state, act, params, key)
+        fresh2 = task.physics_step(state, act, params, key)
+        monkeypatch.setenv("BSIM_FROZEN_MASS", "1")
+        frozen = task.physics_step(state, act, params, key)
+
+        # Fresh path is deterministic; frozen deviates but stays tiny.
+        np.testing.assert_array_equal(np.asarray(fresh.q),
+                                      np.asarray(fresh2.q))
+        scale = float(jnp.abs(fresh.q).max())
+        dev = float(jnp.abs(frozen.q - fresh.q).max())
+        assert np.isfinite(np.asarray(frozen.q)).all()
+        assert np.isfinite(np.asarray(frozen.v)).all()
+        assert dev < 0.01 * scale, (dev, scale)
