@@ -6,9 +6,13 @@ TPU's ``block_until_ready`` can return before execution completes, so
 naive timings report phantom async numbers (round 1's 53M Pendulum
 steps/s was such a number). Every timing below chains K jitted calls
 through device-side state and ends with a HOST FETCH of a scalar that
-depends on all of them; the clock stops after the fetch. That bounds the
-true throughput from below (it includes one tunnel round trip, amortized
-over K rounds).
+depends on all of them; the clock stops after the fetch. The reported
+rate is the K-SLOPE — (T(K_hi) - T(K_lo)) / (K_hi - K_lo), best-of-2
+per K — which cancels the tunnel's fixed dispatch+fetch cost (~80 ms
+measured) while every chain stays fetch-fenced; this is the marginal
+per-round rate a long collection run actually sustains. (Round 2 used
+total/K at K=6, which silently charged 1/6 of the fetch to every round
+— 13 ms on a 47 ms Humanoid round.)
 
 Prints the headline JSON line
 {"metric", "value", "unit", "vs_baseline"} first (vs_baseline = value /
@@ -96,19 +100,28 @@ def bench_pendulum():
     env_state, obs, r = rollout(pparams, env_state, obs,
                                 jax.random.PRNGKey(0))
     float(np.asarray(r))
-    best = 0.0
-    for rep in range(2):
-        K = 3
+
+    def timed(k, seed):
+        nonlocal env_state, obs
         acc = jnp.zeros(())
         t0 = time.perf_counter()
-        for i in range(K):
+        for i in range(k):
             env_state, obs, r = rollout(pparams, env_state, obs,
-                                        jax.random.PRNGKey(rep * K + i + 1))
+                                        jax.random.PRNGKey(seed * 97 + i))
             acc = acc + r
         float(np.asarray(acc))  # the honest fence
-        dt = time.perf_counter() - t0
-        best = max(best, K * N_STEPS * NUM_ENVS / dt)
-    return best
+        return time.perf_counter() - t0
+
+    # K-slope (K=1 vs K=5, best of 2 each): marginal per-chain time with
+    # the tunnel's fixed dispatch+fetch cost cancelled — the protocol the
+    # round-2 honesty rework documented (module docstring).
+    t_lo = min(timed(1, 1), timed(1, 3))
+    t_hi = min(timed(5, 2), timed(5, 4))
+    slope = (t_hi - t_lo) / 4.0
+    # Degenerate slope (timing noise) falls back to the conservative
+    # fetch-inclusive average.
+    per_chain = slope if slope > 0 else t_hi / 5.0
+    return N_STEPS * NUM_ENVS / per_chain
 
 
 def bench_articulated(task_name, cfg_file, n_envs, ep_len):
@@ -147,18 +160,21 @@ def bench_articulated(task_name, cfg_file, n_envs, ep_len):
         return float(np.asarray(acc))
 
     run_k(1, jax.random.PRNGKey(0))  # compile + warm, fetched
-    best = 0.0
-    for rep in range(2):
-        # One host fetch per K rounds; the tunnel's fixed fetch cost
-        # (~80 ms measured) is amortized over K as the protocol states,
-        # so K = 6 keeps the number honest without drowning it in the
-        # per-batch round trip.
-        K = 6
+
+    def timed(k, seed):
         t0 = time.perf_counter()
-        run_k(K, jax.random.PRNGKey(rep + 1))
-        dt = time.perf_counter() - t0
-        best = max(best, K * (ep_len - 1) * n_envs / dt)
-    return best
+        run_k(k, jax.random.PRNGKey(seed))
+        return time.perf_counter() - t0
+
+    # K-slope (K=2 vs K=14, best of 2 each): every chain ends in a real
+    # host fetch; the slope cancels the tunnel's fixed dispatch+fetch
+    # cost (~80 ms measured) and reports the marginal per-round rate —
+    # the documented honest protocol (module docstring).
+    t_lo = min(timed(2, 1), timed(2, 3))
+    t_hi = min(timed(14, 2), timed(14, 4))
+    slope = (t_hi - t_lo) / 12.0
+    per_round = slope if slope > 0 else t_hi / 14.0
+    return (ep_len - 1) * n_envs / per_round
 
 
 def main():
@@ -178,7 +194,8 @@ def main():
         "vs_baseline": round(hand / TARGET, 4),
     }), flush=True)
     for name, cfg_file, n_envs in (("Ant", "ant.yaml", 4096),
-                                   ("Humanoid", "humanoid.yaml", 4096)):
+                                   ("Humanoid", "humanoid.yaml", 4096),
+                                   ("Anymal", "anymal.yaml", 4096)):
         val = bench_articulated(name, cfg_file, n_envs, 51)
         print(json.dumps({
             "metric": f"{name.lower()}_env_steps_per_sec_{n_envs}envs",
