@@ -18,6 +18,8 @@ points, differentiable.
 
 from __future__ import annotations
 
+import os
+
 from typing import List, Tuple
 
 import numpy as np
@@ -79,9 +81,14 @@ def contact_points(model: ArticulatedModel) -> Tuple[np.ndarray, np.ndarray,
 def _fold(mat, x):
     """(r, s) static mask x (s, .., N) -> (r, .., N) as one dot_general
     with trailing free dims (no reshape — merging tile-padded middle dims
-    with the minor axis forces a physical relayout on TPU)."""
+    with the minor axis forces a physical relayout on TPU). Same precision
+    policy as dynamics._fold: HIGH (3-pass bf16x3, ~6e-5 rel) by default —
+    contact forces are k*depth penalty terms, orders above that — with
+    ``BSIM_FOLD_HIGHEST=1`` restoring exact-f32 6-pass."""
+    prec = _HI if os.environ.get("BSIM_FOLD_HIGHEST", "0") == "1" \
+        else jax.lax.Precision.HIGH
     return jax.lax.dot_general(jnp.asarray(mat, x.dtype), x,
-                               (((1,), (0,)), ((), ())), precision=_HI)
+                               (((1,), (0,)), ((), ())), precision=prec)
 
 
 def _mv(A, x):
