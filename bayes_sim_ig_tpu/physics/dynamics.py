@@ -357,6 +357,11 @@ def forward_kinematics(model: ArticulatedModel, q, v_dof,
         [R_loc, jnp.broadcast_to(jnp.eye(3)[None, ..., None],
                                  (1, 3, 3, n))], 0)        # (nb+1,3,3,N)
     pc = jnp.concatenate([r_loc, jnp.zeros((1, 3, n))], 0)
+    # The one-hot fold IS the fastest ancestor lookup here: a static
+    # leading-axis jnp.take measured 4.09M vs the fold's 4.66M steps/s
+    # end-to-end (ShadowHand@16k) — XLA lowers the take to per-row
+    # async copies whose dispatch overhead exceeds the fold's 3 MXU
+    # passes.
     for g in st["jump_gathers"]:
         A_R = _fold(g, Rc)
         A_p = _fold(g, pc)
@@ -793,6 +798,12 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
         F = _mass_factors_i10(model, kin, I10)             # (nv, 6, N)
         S = kin.S_o
         if use_tree:
+            # Kept as the per-pair fusion DAG deliberately: a row-form
+            # rewrite (stacked (1+|chain|, 6, N) S gathers + wave
+            # -scheduled 2D fold substitution) measured SLOWER end to
+            # end (4.46M vs 4.66M ShadowHand@16k steps/s) — XLA keeps
+            # these per-pair slices virtual inside fusions, while
+            # stack/concat row materialization pays real copies.
             M = {}
             for (k, i) in pairs:
                 M[(k, i)] = sum(F[k, c] * S[i, c] for c in range(6))
