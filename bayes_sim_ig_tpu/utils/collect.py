@@ -27,6 +27,7 @@ layout downstream code expects.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
@@ -35,6 +36,47 @@ import jax
 import jax.numpy as jnp
 
 from ..sim.task import env_step, env_full_reset
+
+
+def _collect_key(key):
+    """Collection keystream: opt-in 'rbg' keys (``BSIM_RBG_RNG=1`` on
+    TPU, 'force' everywhere).
+
+    Measured OFF by default: the round-3 ShadowHand trace shows the
+    threefry2x32 keystream fused through the hot collection loop
+    (sim-noise draws + random-policy draws at 16k envs) costing several
+    percent of the step, but an on-chip A/B of this rbg path measured
+    SLOWER end to end (4.97M vs 5.45M env-steps/s @16384) — jax's 'rbg'
+    still runs threefry for every `split`, and the collection loop
+    splits keys each step, so the generation savings don't pay for the
+    wider 4-word key plumbing here. Kept opt-in for directly-attached
+    TPUs where the tradeoff may differ."""
+    v = os.environ.get("BSIM_RBG_RNG", "0")
+    if v == "0" or (v != "force" and jax.default_backend() != "tpu"):
+        return key
+    data = jnp.asarray(key, jnp.uint32).reshape(-1)[:2]
+    return jax.random.wrap_key_data(jnp.concatenate([data, data]),
+                                    impl="rbg")
+
+
+def _store_dtype():
+    """Dtype for the scanned episode buffers (``BSIM_COLLECT_BF16``,
+    opt-out; '0' disables, 'force' enables off-TPU for tests).
+
+    The round-3 16k-env ShadowHand trace shows the scan's obs/act
+    stacking (one (50, N, obs) dynamic-update-slice per step) plus the
+    padding/transpose passes over those buffers as the largest
+    collection-side cost. Storing the scanned copies in bf16 halves
+    those bytes; the LIVE state stays f32 (the carry, the physics, the
+    policy input), only the banked trajectory copy is rounded
+    (~0.4% rel) — far below the obs-noise DR the collected data carries
+    anyway — and the returned arrays are f32 again at the boundary.
+    On-chip A/B: ShadowHand@16384 4.70M -> 5.45M env-steps/s (+16%;
+    the win exceeds the DUS's own share because the smaller ys also
+    relieve the loop's VMEM spill pressure)."""
+    v = os.environ.get("BSIM_COLLECT_BF16", "1")
+    on = v == "force" or (v == "1" and jax.default_backend() == "tpu")
+    return jnp.bfloat16 if on else jnp.float32
 
 
 # --------------------------------------------------------------------- #
@@ -100,11 +142,15 @@ def _postprocess_round(obs0, obs_seq, act_seq, rew_seq, done_seq, labels):
         x_done = jnp.take_along_axis(x, t_done[None, :, None], axis=0)
         return jnp.where(alive[:, :, None], x, x_done)
 
-    states = jnp.concatenate([obs0[None], pad_last(obs_seq)], axis=0)
+    states = jnp.concatenate([obs0.astype(obs_seq.dtype)[None],
+                              pad_last(obs_seq)], axis=0)
     acts = pad_last(act_seq)
     acts = jnp.concatenate([acts, acts[-1:]], axis=0)
     rewards = jnp.sum(rew_seq * alive, axis=0)
-    return (labels, states.transpose(1, 0, 2), acts.transpose(1, 0, 2),
+    # The f32 convert fuses into the transpose's relayout pass.
+    return (labels,
+            states.transpose(1, 0, 2).astype(jnp.float32),
+            acts.transpose(1, 0, 2).astype(jnp.float32),
             rewards)
 
 
@@ -118,10 +164,12 @@ def _collect_round(task, policy_apply, collect_policy, max_episode_length,
     policy_apply: (policy_params, obs, key) -> action (the RL policy).
     collect_policy: (act, key) -> act transform.
     """
-    k_reset, k_scan = jax.random.split(key)
+    k_reset, k_scan = jax.random.split(_collect_key(key))
     env_state, obs0 = env_full_reset(task, distr, k_reset)
     labels = env_state.params  # ground-truth params for this round
     n_steps = max_episode_length - 1
+
+    store = _store_dtype()
 
     def body(carry, step_key):
         env_state, obs = carry
@@ -130,7 +178,8 @@ def _collect_round(task, policy_apply, collect_policy, max_episode_length,
         act = collect_policy(act, k_pol)
         env_state, obs2, rew, done = env_step(task, distr, env_state, act,
                                               max_episode_length)
-        return (env_state, obs2), (obs2, act, rew, done)
+        return (env_state, obs2), (obs2.astype(store), act.astype(store),
+                                   rew, done)
 
     keys = jax.random.split(k_scan, n_steps)
     _, (obs_seq, act_seq, rew_seq, done_seq) = jax.lax.scan(

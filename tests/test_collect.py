@@ -128,3 +128,47 @@ class TestPolicies:
         assert get_collect_policy(None) is policy_rl
         with pytest.raises(KeyError):
             get_collect_policy("policy_nope")
+
+
+class TestStorageAndKeystreamGates:
+    """The TPU-only collection fast paths, forced on CPU
+    (collect.py `_store_dtype` / `_collect_key`)."""
+
+    def _round(self, ppo, key):
+        from bayes_sim_ig_tpu.utils.collect import _collect_round
+        task = ppo.vec_env.task
+        return _collect_round(task, ppo.policy_apply, policy_random, 11,
+                              ppo.train_state.params, ppo.vec_env._distr,
+                              key)
+
+    def test_bf16_episode_storage_matches_f32(self, monkeypatch):
+        # Banked trajectory copies may round to bf16 (<=0.4% rel); the
+        # returned arrays stay float32 and labels/rewards stay exact.
+        ppo = _make_ppo(num_envs=8)
+        key = jax.random.PRNGKey(3)
+        monkeypatch.setenv("BSIM_COLLECT_BF16", "0")
+        jax.clear_caches()
+        lab32, st32, ac32, rw32 = map(np.asarray, self._round(ppo, key))
+        monkeypatch.setenv("BSIM_COLLECT_BF16", "force")
+        jax.clear_caches()
+        lab16, st16, ac16, rw16 = map(np.asarray, self._round(ppo, key))
+        assert st16.dtype == np.float32 and ac16.dtype == np.float32
+        np.testing.assert_array_equal(lab16, lab32)
+        np.testing.assert_array_equal(rw16, rw32)
+        rel = np.max(np.abs(st16 - st32) / (np.abs(st32) + 1e-6))
+        assert rel < 5e-3, rel
+
+    def test_rbg_keystream_collects_finite(self, monkeypatch):
+        # Opt-in rbg keystream produces valid (finite, in-range) rounds.
+        ppo = _make_ppo(num_envs=8)
+        monkeypatch.setenv("BSIM_RBG_RNG", "force")
+        jax.clear_caches()
+        labels, states, acts, rews = map(
+            np.asarray, self._round(ppo, jax.random.PRNGKey(4)))
+        assert np.isfinite(states).all() and np.isfinite(rews).all()
+        assert (acts >= 0).all() and (acts <= 1).all()  # policy_random
+        monkeypatch.setenv("BSIM_RBG_RNG", "0")
+        jax.clear_caches()
+        labels2, *_ = map(np.asarray,
+                          self._round(ppo, jax.random.PRNGKey(4)))
+        assert labels.shape == labels2.shape
