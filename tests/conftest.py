@@ -16,6 +16,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: most of the suite's wall time is
+# XLA:CPU compiles of physics/training programs. Caching them on disk
+# makes re-runs fast and survives the jax.clear_caches() below (that
+# only drops in-memory executables). Cold first run is unaffected.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 import pytest  # noqa: E402
 
@@ -25,7 +33,10 @@ import pytest  # noqa: E402
 # segfaults near the end of a full-suite run. Dropping the caches after
 # each such test bounds memory at zero recompile cost.
 _HEAVY_MODULES = ("test_tasks", "test_task_behaviors", "test_parallel",
-                  "test_ppo", "test_collect")
+                  "test_ppo")
+# test_collect intentionally NOT listed: its tests share lru_cached
+# env/ppo objects so the jit cache can hit across tests; the module
+# clears everything once at teardown (see its _module_teardown).
 
 
 @pytest.fixture(autouse=True)

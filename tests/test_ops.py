@@ -155,7 +155,8 @@ class TestTreeSolve:
 
     @pytest.mark.parametrize("task_mod,builder", [
         ("shadow_hand", "build_hand_model"),
-        ("ant", "build_ant_model"),
+        pytest.param("ant", "build_ant_model",
+                     marks=pytest.mark.heavy),   # slow CPU compile (42 s)
         pytest.param("humanoid", "build_humanoid_model",
                      marks=pytest.mark.heavy),  # slow FK compile
     ])

@@ -110,6 +110,8 @@ def test_sharded_physics_engine_step():
     assert len(state.params.sharding.device_set) == 8
 
 
+@pytest.mark.heavy  # ~40 s (two subprocess JAX startups); VERDICT r2
+# item 6 prescribed this as a heavy test
 def test_multihost_two_process_cluster(tmp_path):
     """A GENUINE 2-process jax.distributed CPU cluster on localhost
     (VERDICT round-2 item 6): each process brings up the DCN coordination

@@ -493,6 +493,8 @@ class TestBf16Path:
         assert err < 0.05 * scale, (err, scale)
 
 
+@pytest.mark.heavy  # opt-in scheme (measured losing on-chip); the
+# factor-reuse contract itself is default-tested in test_ops
 class TestFrozenMassSubsteps:
     def test_frozen_vs_fresh_single_step(self, monkeypatch):
         """The opt-in frozen-mass substep scheme (BSIM_FROZEN_MASS=1:
