@@ -733,7 +733,9 @@ def dof_positions(model: ArticulatedModel, q):
 def forward_dynamics(model: ArticulatedModel, q, v, tau,
                      params: DynParams, f_ext_world=None, dt=None,
                      kin: Optional[Kinematics] = None,
-                     factor=None, return_factor: bool = False):
+                     factor=None, return_factor: bool = False,
+                     drive_kp=None, drive_kd=None, drive_target=None,
+                     drive_effort=None):
     """qdd = (M + diag(armature) + dt*diag(damping))^-1 (tau - C - d v).
 
     Viscous joint damping is integrated implicitly (see module docstring):
@@ -742,6 +744,25 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
     ``kin`` (e.g. the one used for contact forces) to skip recomputing FK.
     ``f_ext_world`` is env-last (nb, 6, N) for batched calls, (nb, 6) for
     single-env ones (matching the contact functions' output).
+
+    ``drive_kp``/``drive_kd``/``drive_target`` (broadcastable to ``v``'s
+    (N, nv) shape; zero kp on undriven dofs) add a PD *position drive*
+    solved IMPLICITLY, the way PhysX solves joint drives (the reference's
+    tasks set dof_properties stiffness/damping as drive gains on top of
+    exactly this semantics). Explicit PD — adding the drive torque to
+    ``tau`` — is numerically unstable whenever h*kd/I or h^2*kp/I is
+    O(1), which holds for every stiff servo on a small-inertia link
+    (Franka fingers: kd/I*h ~ 30; ShadowHand distal joints likewise);
+    the velocity clamps then mask the blow-up as a dithering joint that
+    tracks nothing. Implicit expansion about the NEW state (q_new = q +
+    h v_new, v_new = v + h qdd):
+        tau_drive = kp (target - q_new) - kd v_new
+                  = kp (target - q) - (kd + h kp)(v + h qdd)
+    so ``kp (target - q) - (kd + h kp) v`` joins the RHS and
+    ``h (kd + h kp)`` joins the LHS diagonal — unconditionally stable.
+    ``drive_effort`` clamps the proportional term (the engine-limit
+    analogue of IG's per-dof effort; the implicit damping part is the
+    solver's, not the motor's).
 
     ``factor``/``return_factor`` let a caller reuse the mass-matrix
     factorization across a step's physics substeps (M varies only by
@@ -755,7 +776,9 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
         qdd, kin1 = forward_dynamics(
             model, q[None], v[None], tau[None], _promote(params),
             None if f_ext_world is None else f_ext_world[..., None], dt,
-            None if kin is None else _promote_kin(kin))
+            None if kin is None else _promote_kin(kin),
+            drive_kp=drive_kp, drive_kd=drive_kd,
+            drive_target=drive_target, drive_effort=drive_effort)
         if return_factor:
             return qdd[0], _squeeze_last(kin1), None
         return qdd[0], _squeeze_last(kin1)
@@ -775,6 +798,18 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
     diag_extra = armT + 1e-6
     if dt is not None:
         diag_extra = diag_extra + dt * dampT
+    if drive_kp is not None:
+        kpT = _el(jnp.broadcast_to(jnp.asarray(drive_kp), v.shape))
+        kdT = (_el(jnp.broadcast_to(jnp.asarray(drive_kd), v.shape))
+               if drive_kd is not None else jnp.zeros_like(kpT))
+        tgtT = _el(jnp.broadcast_to(jnp.asarray(drive_target), v.shape))
+        p_term = kpT * (tgtT - q_dofT)
+        if drive_effort is not None:
+            p_term = jnp.clip(p_term, -drive_effort, drive_effort)
+        h_drv = dt if dt is not None else 0.0
+        gain = kdT + h_drv * kpT
+        rhs = rhs + p_term - gain * vT
+        diag_extra = diag_extra + h_drv * gain
     # Mass matrix + solve, picked by the tree's measured sparsity
     # (BSIM_TREE_SOLVE=auto|1|0): CRBA entries exist only at dof-tree
     # ancestor pairs, and when they are sparse enough — ShadowHand: 128

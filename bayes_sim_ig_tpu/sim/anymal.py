@@ -167,19 +167,26 @@ class Anymal(Task):
         targets = (jnp.asarray(self._default_dof)
                    + jnp.clip(actions, -1, 1) * self.action_scale)
         act_v = jnp.asarray(self._act_v_idx)
-        act_q = jnp.asarray(self._act_q_idx)
         n = actions.shape[0]
+        # Leg PD drives solved IMPLICITLY in forward_dynamics (PhysX
+        # drive semantics; dynamics.py docstring): explicit tau-PD is
+        # only marginally stable on the light shank axes at nominal mass
+        # and goes unstable under small-mass DR corners — the velocity
+        # clamps then hide the blow-up as joint dither.
+        kp_dof = jnp.zeros((n, m.nv)).at[:, act_v].set(self.kp)
+        kd_dof = jnp.zeros((n, m.nv)).at[:, act_v].set(self.kd)
+        tgt_dof = jnp.zeros((n, m.nv)).at[:, act_v].set(targets)
+        zero_tau = jnp.zeros((n, m.nv))
 
         def substep(carry, _):
             q, v, factor = carry
-            tau = jnp.zeros((n, m.nv)).at[:, act_v].set(
-                jnp.clip(self.kp * (targets - q[:, act_q])
-                         - self.kd * v[:, act_v], -80.0, 80.0))
             kin = forward_kinematics(m, q, v, dp)
             f_ext = ground_contact_forces(m, kin, dp, dt=h)
             qdd, _, factor = forward_dynamics(
-                m, q, v, tau, dp, f_ext, dt=h, kin=kin,
-                factor=carried_mass_factor(factor), return_factor=True)
+                m, q, v, zero_tau, dp, f_ext, dt=h, kin=kin,
+                factor=carried_mass_factor(factor), return_factor=True,
+                drive_kp=kp_dof, drive_kd=kd_dof, drive_target=tgt_dof,
+                drive_effort=80.0)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v, factor), None

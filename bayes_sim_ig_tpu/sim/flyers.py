@@ -96,22 +96,30 @@ class _FlyerBase(Task):
         h = self.dt / self.substeps
         targets = self._joint_targets(actions)
         dof_idx = jnp.asarray(self._dof_v_idx)
-        qoffs = jnp.asarray([m.q_off[i] for i in self._dof_links])
         thrust = jax.vmap(self._thrust_forces)
+
+        # Joint PD drives solved IMPLICITLY in forward_dynamics (PhysX
+        # drive semantics; dynamics.py docstring) — stable regardless of
+        # how light the DR corners make the rotor-arm links.
+        n = actions.shape[0]
+        drive = {}
+        if targets is not None:
+            drive = dict(
+                drive_kp=jnp.zeros((n, m.nv)).at[:, dof_idx].set(self.kp),
+                drive_kd=jnp.zeros((n, m.nv)).at[:, dof_idx].set(self.kd),
+                drive_target=jnp.zeros((n, m.nv)).at[:, dof_idx].set(
+                    targets))
+        zero_tau = jnp.zeros((n, m.nv))
 
         def substep(carry, _):
             q, v, factor = carry
             # vmapped per-env thrust gives (N, nb, 6); the engine consumes
             # env-last (nb, 6, N).
             f_ext = jnp.moveaxis(thrust(q, actions, params), 0, -1)
-            tau = jnp.zeros((q.shape[0], m.nv))
-            if targets is not None:
-                tau = tau.at[:, dof_idx].set(
-                    self.kp * (targets - q[:, qoffs])
-                    - self.kd * v[:, dof_idx])
             qdd, _, factor = forward_dynamics(
-                m, q, v, tau, dp, f_ext, dt=h,
-                factor=carried_mass_factor(factor), return_factor=True)
+                m, q, v, zero_tau, dp, f_ext, dt=h,
+                factor=carried_mass_factor(factor), return_factor=True,
+                **drive)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v, factor), None

@@ -215,13 +215,21 @@ class FrankaCabinet(Task):
             state.targets + jnp.clip(actions, -1, 1) * self.action_scale
             * self.dt, self._limits_lo, self._limits_hi)
         dof_v = jnp.asarray(self._dof_v)
-        dof_q = jnp.asarray(self._dof_q)
+        n = actions.shape[0]
+        # PD drives are solved IMPLICITLY in forward_dynamics (the PhysX
+        # drive semantics the reference's tasks run on): the explicit
+        # tau-PD this task shipped with is unstable on the low-inertia
+        # wrist/finger joints (h*kd/I >> 2) — the velocity clamp masked
+        # it as joints that dither instead of tracking, leaving the
+        # drawer unopenable for any policy (round-3 probe: commanded
+        # poses missed by 0.3-0.8 rad; implicitly they track to <0.02).
+        kp_dof = jnp.zeros((n, m.nv)).at[:, dof_v].set(kp)
+        kd_dof = jnp.zeros((n, m.nv)).at[:, dof_v].set(kd)
+        tgt_dof = jnp.zeros((n, m.nv)).at[:, dof_v].set(targets)
+        zero_tau = jnp.zeros((n, m.nv))
 
         def substep(carry, _):
             q, v, factor = carry
-            tau = jnp.zeros((q.shape[0], m.nv)).at[:, dof_v].set(
-                jnp.clip(kp * (targets - q[:, dof_q]) - kd * v[:, dof_v],
-                         -87.0, 87.0))
             kin = forward_kinematics(m, q, v, dp)
             f_ext = jnp.zeros((m.nb, 6, q.shape[0]))  # env-last
             # Finger pads gripping the drawer handle: handle sphere vs
@@ -235,8 +243,10 @@ class FrankaCabinet(Task):
                     plane_normal=(0.0, sy, 0.0), mu=1.5, dt=h,
                     plane_halfsize=0.025)
             qdd, _, factor = forward_dynamics(
-                m, q, v, tau, dp, f_ext, dt=h, kin=kin,
-                factor=carried_mass_factor(factor), return_factor=True)
+                m, q, v, zero_tau, dp, f_ext, dt=h, kin=kin,
+                factor=carried_mass_factor(factor), return_factor=True,
+                drive_kp=kp_dof, drive_kd=kd_dof, drive_target=tgt_dof,
+                drive_effort=87.0)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v, factor), None

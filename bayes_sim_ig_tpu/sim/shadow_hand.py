@@ -484,11 +484,20 @@ class ShadowHand(Task):
                  for i in range(3)], 1)                    # (T, 3, N)
             return nrm, nrm * cube_half[None, None, :]
 
+        # Finger PD drives are solved IMPLICITLY in forward_dynamics (the
+        # PhysX drive semantics): explicit tau-PD on the tiny distal-link
+        # inertias is unstable at h = 1/120 (h*kd/I >> 2) — before this,
+        # the distal joints sat ~0.5 rad off target dithering at the
+        # per-dof velocity clamp (round-3 probe), i.e. the hand tracked
+        # position targets mostly by accident.
+        kp_dof = jnp.zeros((n_env, m.nv)).at[:, act_v].set(
+            jnp.broadcast_to(kp, (n_env, 20)))
+        kd_dof = jnp.zeros((n_env, m.nv)).at[:, act_v].set(kd)
+        tgt_dof = jnp.zeros((n_env, m.nv)).at[:, act_v].set(targets)
+
         def substep(carry, _):
             q, v, factor = carry
-            tau = jnp.zeros((q.shape[0], m.nv)).at[:, act_v].set(
-                jnp.clip(kp * (targets - q[:, act_q]) - kd * v[:, act_v],
-                         -3.0, 3.0))
+            tau = jnp.zeros((q.shape[0], m.nv))
             # Tendon coupling: spring-damper pulling q_J1 toward q_J0.
             for t_i, (j1, j0) in enumerate(self._tendon_pairs):
                 v1, v0 = m.v_off[j1], m.v_off[j0]
@@ -509,7 +518,9 @@ class ShadowHand(Task):
                 plane_halfsizes=halfsizes)
             qdd, _, factor = forward_dynamics(
                 m, q, v, tau, dp, f_ext, dt=h, kin=kin,
-                factor=carried_mass_factor(factor), return_factor=True)
+                factor=carried_mass_factor(factor), return_factor=True,
+                drive_kp=kp_dof, drive_kd=kd_dof, drive_target=tgt_dof,
+                drive_effort=3.0)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v, factor), None

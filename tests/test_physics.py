@@ -432,6 +432,88 @@ class TestJointDynamics:
         assert abs(float(q[0])) < 0.2  # settled near zero
 
 
+class TestImplicitDrive:
+    """PD position drives solved implicitly inside forward_dynamics (the
+    PhysX drive semantics; dynamics.py forward_dynamics docstring). The
+    stiff-servo-on-tiny-inertia case is exactly the regime where the
+    tasks' old explicit tau-PD silently failed: h*kd/I >> 2 makes the
+    explicit update an oscillator that the velocity clamp freezes mid-air
+    (FrankaCabinet joints missed commanded poses by 0.3-0.8 rad; the
+    drawer could never be opened by any policy)."""
+
+    def _servo(self, inertia=1e-5):
+        return ArticulatedModel([LinkSpec(
+            "rod", parent=-1, joint_type="revolute", joint_axis=(0, 0, 1),
+            mass=0.01, com=(0.05, 0, 0), inertia=(inertia,) * 3)])
+
+    def _run(self, model, params, n, drive=None, tau_fn=None, h=1 / 120.0):
+        @jax.jit
+        def run(q, v):
+            def body(carry, _):
+                q, v = carry
+                tau = tau_fn(q, v) if tau_fn is not None else jnp.zeros(1)
+                kw = drive if drive is not None else {}
+                qdd, _ = forward_dynamics(model, q, v, tau, params,
+                                          dt=h, **kw)
+                return integrate(model, q, v, qdd, h), None
+            return jax.lax.scan(body, (q, v), None, length=n)[0]
+        return run(jnp.zeros(1), jnp.zeros(1))
+
+    def test_stiff_drive_on_tiny_inertia_tracks_target(self):
+        # ShadowHand-class numbers: kp=2, kd=0.1, I=1e-5 at h=1/120
+        # (h*kd/I ~ 83: far beyond explicit stability). Gravity-free axis.
+        model = self._servo()
+        params = DynParams.defaults(model)
+        drive = dict(drive_kp=jnp.full((1, 1), 2.0),
+                     drive_kd=jnp.full((1, 1), 0.1),
+                     drive_target=jnp.full((1, 1), 1.0))
+        q, v = self._run(model, params, 400, drive=drive)
+        assert abs(float(q[0]) - 1.0) < 1e-3, float(q[0])
+        assert abs(float(v[0])) < 1e-2
+
+        # Negative control: the same gains applied as explicit torque
+        # never settle (the velocity clamp turns the blow-up into a
+        # dithering joint far from the target).
+        def tau_fn(q, v):
+            return 2.0 * (1.0 - q) - 0.1 * v
+        q_e, v_e = self._run(model, params, 400, tau_fn=tau_fn)
+        assert (abs(float(q_e[0]) - 1.0) > 0.05
+                or abs(float(v_e[0])) > 1.0), (q_e, v_e)
+
+    def test_drive_gravity_steady_state_matches_force_balance(self):
+        # Horizontal-axis pendulum held up by the drive: at rest
+        # kp (target - q) = m g l sin(q) (+ effort not binding).
+        m_, l_ = 0.5, 0.4
+        model = ArticulatedModel([LinkSpec(
+            "rod", parent=-1, joint_type="revolute", joint_axis=(0, 1, 0),
+            mass=m_, com=(0, 0, -l_), inertia=(1e-4,) * 3)])
+        params = DynParams.defaults(model)._replace(
+            damping=jnp.full(1, 0.05))
+        kp = 8.0
+        drive = dict(drive_kp=jnp.full((1, 1), kp),
+                     drive_kd=jnp.full((1, 1), 0.5),
+                     drive_target=jnp.full((1, 1), 1.2))
+        q, v = self._run(model, params, 1200, drive=drive)
+        qf = float(q[0])
+        # gravity torque about axis y for com (0,0,-l) rotated by q:
+        g_tau = m_ * 9.81 * l_ * np.sin(qf)
+        assert abs(float(v[0])) < 1e-3
+        assert kp * (1.2 - qf) == pytest.approx(g_tau, rel=0.02)
+
+    def test_drive_effort_clamps_proportional_term(self):
+        model = self._servo(inertia=1e-3)
+        params = DynParams.defaults(model)
+        qdd, _ = forward_dynamics(
+            model, jnp.zeros(1), jnp.zeros(1), jnp.zeros(1), params,
+            dt=1 / 120.0, drive_kp=jnp.full((1, 1), 1e4),
+            drive_kd=jnp.zeros((1, 1)), drive_target=jnp.full((1, 1), 1.0),
+            drive_effort=0.5)
+        # |qdd| ~ effort / (I + h*(h*kp)) with v=0: the P-term is clamped
+        # to 0.5 while the implicit h^2*kp diagonal still applies.
+        I_eff = 1e-3 + (1 / 120.0) ** 2 * 1e4
+        assert float(qdd[0]) == pytest.approx(0.5 / I_eff, rel=0.05)
+
+
 class TestVelocityClamps:
     def test_joint_velocity_clamped_to_max(self):
         # PhysX-style maxJointVelocity: a huge qdd (ultra-light link under
