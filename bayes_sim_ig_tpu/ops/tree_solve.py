@@ -13,7 +13,7 @@ all previously built columns, ~0.9 GB of HBM reads per 16k-env solve),
 this solver touches only the E ancestor pairs:
 
   * ShadowHand (4 nearly independent finger chains + LF + thumb + wrist
-    + a free cube): E = 136 of 465 lower-triangle entries, ~330 multiply
+    + a free cube): E = 128 of 465 lower-triangle entries, ~330 multiply
     -adds per env in the factorization — ~14x fewer flops and ~40x less
     HBM traffic than the dense elimination;
   * every value is an (N,)-lane vector held in a Python dict keyed by the

@@ -40,7 +40,13 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         msg = str(e).lower()
         # Benign: this process is already past distributed bring-up
         # (initialized earlier, or the XLA backend is already live).
-        if "already" in msg or "must be called before" in msg:
+        # Match the specific phrasings — a bare "already" substring also
+        # matches genuine failures like "address already in use"
+        # (round-3 review finding).
+        if ("already initialized" in msg
+                or "should only be called once" in msg
+                or "must be called before" in msg
+                or "backend is already" in msg):
             return False
         if not explicit:
             return False  # no cluster env to auto-detect

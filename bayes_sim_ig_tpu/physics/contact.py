@@ -180,9 +180,17 @@ def sphere_plane_pair_forces(model: ArticulatedModel, kin,
     f_n_mag = m_eff * (depth / tau ** 2 + 2.0 * zeta * (-v_n) / tau)
     active = depth > 0
     if plane_halfsize is not None:
-        local = jnp.abs(_mvT(R_p, center - pp_w))
-        active = active & (local[0] < plane_halfsize) & \
-            (local[1] < plane_halfsize)
+        # Gate on the TANGENTIAL extent of the plane-frame offset (the
+        # components orthogonal to the plane normal). Hardcoding
+        # components 0/1 is only right for z-normal planes; for the
+        # finger-pad (y-normal) and cube-face (x/y-normal) patches it
+        # gated the normal distance — always tiny at contact — and left
+        # one tangential axis unbounded (round-3 review finding).
+        local = _mvT(R_p, center - pp_w)                   # (3, N)
+        nrm_b = jnp.broadcast_to(nrm, (3, n))
+        l_t = jnp.abs(local - jnp.sum(local * nrm_b, 0,
+                                      keepdims=True) * nrm_b)
+        active = active & (jnp.max(l_t, 0) < plane_halfsize)
     f_n_mag = jnp.where(active, jnp.maximum(f_n_mag, 0.0), 0.0)
     v_t = v_rel - v_n[None] * n_w
     v_t_norm = jnp.sqrt(jnp.sum(v_t * v_t, 0)) + 1e-8
@@ -286,8 +294,13 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
         hs = jnp.broadcast_to(
             jnp.asarray(plane_halfsizes, jnp.float32).reshape(P, -1),
             (P, n))
-        local = jnp.abs(_mvT(R_p, center - pp_w))
-        active = active & (local[:, 0] < hs) & (local[:, 1] < hs)
+        # Tangential-extent gate (see sphere_plane_pair_forces): project
+        # out the normal component so the two in-plane axes are gated
+        # whatever the face normal's plane-frame direction.
+        local = _mvT(R_p, center - pp_w)                  # (P, 3, N)
+        l_t = jnp.abs(local - jnp.sum(local * nrm, 1,
+                                      keepdims=True) * nrm)
+        active = active & (jnp.max(l_t, 1) < hs)
     f_n_mag = jnp.where(active, jnp.maximum(f_n_mag, 0.0), 0.0)
     v_t = v_rel - v_n[:, None, :] * n_w
     v_t_norm = jnp.sqrt(jnp.sum(v_t * v_t, 1)) + 1e-8

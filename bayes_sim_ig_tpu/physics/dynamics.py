@@ -38,7 +38,7 @@ measurement on the target chip:
     phantom-link chains give depth 10, which collapses to 4 rounds;
   * the (M + ...) qdd = rhs solve builds CRBA entries ONLY at dof-tree
     ancestor pairs and runs the branch-sparse LTDL of ops/tree_solve.py
-    (ShadowHand: 136 of 465 lower-triangle entries, ~14x fewer
+    (ShadowHand: 128 of 465 lower-triangle entries, ~14x fewer
     factorization flops than a dense elimination; XLA's own cholesky/
     triangular_solve custom calls cost 4.4-56 ms per rollout step at
     these shapes);
@@ -773,14 +773,17 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
     the factorization (the round-3 trace's largest post-FK cost). The
     payload is solver-specific and opaque."""
     if q.ndim == 1:
-        qdd, kin1 = forward_dynamics(
+        out = forward_dynamics(
             model, q[None], v[None], tau[None], _promote(params),
             None if f_ext_world is None else f_ext_world[..., None], dt,
             None if kin is None else _promote_kin(kin),
+            factor=factor, return_factor=return_factor,
             drive_kp=drive_kp, drive_kd=drive_kd,
             drive_target=drive_target, drive_effort=drive_effort)
         if return_factor:
-            return qdd[0], _squeeze_last(kin1), None
+            qdd, kin1, factor = out
+            return qdd[0], _squeeze_last(kin1), factor
+        qdd, kin1 = out
         return qdd[0], _squeeze_last(kin1)
     if kin is None:
         kin = forward_kinematics(model, q, v, params)

@@ -37,6 +37,7 @@ from ..physics import (
     carried_mass_factor, clamp_limits,
     ground_contact_forces,
 )
+from .render2d import draw_line
 from .task import Task
 
 LEG_DIRS = np.array([[1, 1], [-1, 1], [-1, -1], [1, -1]],
@@ -287,13 +288,7 @@ class Ant(Task):
                          1 - 2 * (y_ * y_ + zq * zq))
 
         def line(x0, y0, x1, y1, color, thick=1):
-            n = max(int(abs(x1 - x0)), int(abs(y1 - y0)), 1)
-            xs = np.linspace(x0, x1, n).astype(int)
-            ys = np.linspace(y0, y1, n).astype(int)
-            for dx in range(-thick, thick + 1):
-                for dy in range(-thick, thick + 1):
-                    img[np.clip(ys + dy, 0, height - 1),
-                        np.clip(xs + dx, 0, width - 1)] = color
+            draw_line(img, x0, y0, x1, y1, color, thick)
 
         r = max(6, int(0.10 * width * np.clip(z / START_Z, 0.2, 1.5)))
         yy, xx = np.ogrid[:height, :width]

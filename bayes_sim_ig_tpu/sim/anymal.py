@@ -35,6 +35,7 @@ from ..physics import (
     ground_contact_forces,
 )
 from ..physics.spatial import quat_to_rot
+from .render2d import draw_line
 from .task import Task
 
 LEGS = [("LF", 1, 1), ("LH", -1, 1), ("RF", 1, -1), ("RH", -1, -1)]
@@ -259,13 +260,7 @@ class Anymal(Task):
         by = gy - int(BASE_Z * scale * 0.8)
 
         def line(x0, y0, x1, y1, color, thick=1):
-            n = max(int(abs(x1 - x0)), int(abs(y1 - y0)), 1)
-            xs = np.linspace(x0, x1, n).astype(int)
-            ys = np.linspace(y0, y1, n).astype(int)
-            for dx in range(-thick, thick + 1):
-                for dy in range(-thick, thick + 1):
-                    img[np.clip(ys + dy, 0, height - 1),
-                        np.clip(xs + dx, 0, width - 1)] = color
+            draw_line(img, x0, y0, x1, y1, color, thick)
 
         half = 0.28 * scale
         c, s = np.cos(pitch), np.sin(pitch)

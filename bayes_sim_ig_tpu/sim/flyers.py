@@ -36,6 +36,7 @@ from ..physics import (
     clamp_limits, carried_mass_factor,
 )
 from ..physics.spatial import quat_to_rot
+from .render2d import draw_line
 from .task import Task
 
 
@@ -181,13 +182,7 @@ class _FlyerBase(Task):
         cx, cy = width // 2, height // 2
 
         def line(x0, y0, x1, y1, color, thick=1):
-            n = max(int(abs(x1 - x0)), int(abs(y1 - y0)), 1)
-            xs = np.linspace(x0, x1, n).astype(int)
-            ys = np.linspace(y0, y1, n).astype(int)
-            for dx in range(-thick, thick + 1):
-                for dy in range(-thick, thick + 1):
-                    img[np.clip(ys + dy, 0, height - 1),
-                        np.clip(xs + dx, 0, width - 1)] = color
+            draw_line(img, x0, y0, x1, y1, color, thick)
 
         line(cx - 5, cy, cx + 5, cy, (90, 170, 90), 1)   # target cross
         line(cx, cy - 5, cx, cy + 5, (90, 170, 90), 1)
@@ -410,13 +405,7 @@ class Quadcopter(_FlyerBase):
         cx, cy = width // 2, height // 2
 
         def line(x0, y0, x1, y1, color, thick=1):
-            n = max(int(abs(x1 - x0)), int(abs(y1 - y0)), 1)
-            xs = np.linspace(x0, x1, n).astype(int)
-            ys = np.linspace(y0, y1, n).astype(int)
-            for dx in range(-thick, thick + 1):
-                for dy in range(-thick, thick + 1):
-                    img[np.clip(ys + dy, 0, height - 1),
-                        np.clip(xs + dx, 0, width - 1)] = color
+            draw_line(img, x0, y0, x1, y1, color, thick)
 
         tx = cx + int(rel[0] * scale)        # target, body at center
         ty = cy - int(rel[1] * scale)

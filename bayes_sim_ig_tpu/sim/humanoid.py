@@ -40,6 +40,7 @@ from ..physics import (
     ground_contact_forces,
 )
 from ..physics.spatial import quat_to_rot
+from .render2d import draw_line
 from .task import Task
 
 START_Z = 1.34
@@ -343,13 +344,7 @@ class Humanoid(Task):
         py = gy - int(np.clip(z, 0.1, 2.0) * scale * 0.7)
 
         def line(x0, y0, x1, y1, color, thick=1):
-            n = max(int(abs(x1 - x0)), int(abs(y1 - y0)), 1)
-            xs = np.linspace(x0, x1, n).astype(int)
-            ys = np.linspace(y0, y1, n).astype(int)
-            for dx in range(-thick, thick + 1):
-                for dy in range(-thick, thick + 1):
-                    img[np.clip(ys + dy, 0, height - 1),
-                        np.clip(xs + dx, 0, width - 1)] = color
+            draw_line(img, x0, y0, x1, y1, color, thick)
 
         torso_len = 0.45 * scale
         tx = cx + int(torso_len * np.sin(lean))

@@ -45,6 +45,7 @@ from ..physics import (
 )
 from ..physics.contact import sphere_plane_pairs_forces
 from ..physics.spatial import quat_to_rot, quat_mul
+from .render2d import draw_line
 from .task import Task
 
 HAND_BODIES = (
@@ -188,6 +189,43 @@ _FACES = [((1, 0, 0), (1, 0, 0)), ((-1, 0, 0), (-1, 0, 0)),
           ((0, 0, 1), (0, 0, 1)), ((0, 0, -1), (0, 0, -1))]
 _CORNERS = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1)
             for sz in (-1, 1)]
+
+
+def nearest_cube_faces(kin, cube_link, sph_links, sph_offsets, cube_half,
+                       n_env):
+    """Per-env nearest cube face for each contact sphere: cube-frame
+    (normal, point) arrays (T, 3, N).
+
+    The nearest face — the one a sphere is about to touch from outside —
+    is the one with the LARGEST signed distance outside its plane
+    (argmax; for a center inside the cube this degenerates to the least
+    -penetrated face, still the right contact face). argmin picked the
+    OPPOSITE face (round-3 review finding: side-face contacts were gated
+    off and spheres in a face's normal column drew phantom far-face
+    forces). Unit-tested directly in tests/test_tasks.py."""
+    face_n = np.asarray([nrm for nrm, _pt in _FACES], np.float32)
+    n_sph = len(sph_links)
+    R_c, p_c = kin.R_w[cube_link], kin.p_w[cube_link]
+    R_t = kin.R_w[np.asarray(sph_links)]                  # (T, 3, 3, N)
+    p_t = kin.p_w[np.asarray(sph_links)]
+    off = jnp.broadcast_to(jnp.asarray(sph_offsets)[:, :, None],
+                           (n_sph, 3, n_env))
+    center = p_t + jnp.stack(
+        [sum(R_t[:, i, k] * off[:, k] for k in range(3))
+         for i in range(3)], 1)                           # world (T,3,N)
+    d = center - p_c[None]
+    c_loc = jnp.stack(
+        [sum(R_c[k, i] * d[:, k] for k in range(3))
+         for i in range(3)], 1)                           # cube (T,3,N)
+    dists = jnp.stack(
+        [sum(fn_i * c_loc[:, i] for i, fn_i in enumerate(f))
+         for f in face_n], 1) - cube_half[None, None, :]
+    sel = jax.nn.one_hot(jnp.argmax(dists, axis=1), len(_FACES),
+                         axis=1, dtype=jnp.float32)       # (T, 6, N)
+    nrm = jnp.stack(
+        [sum(sel[:, f] * face_n[f, i] for f in range(len(_FACES)))
+         for i in range(3)], 1)                           # (T, 3, N)
+    return nrm, nrm * cube_half[None, None, :]
 
 
 class HandState(NamedTuple):
@@ -417,8 +455,8 @@ class ShadowHand(Task):
         tip_mu, obj_mu = jax.vmap(self._contact_frictions)(params)
 
         # --- contact pairs: 8 cube corners vs palm plane + every hand
-        # contact sphere (5 fingertips + 9 proximal/middle phalanges +
-        # thumb middle) vs its NEAREST cube face (selected per env from
+        # contact sphere (5 fingertip distals + 8 proximal/middle phalanges +
+        # thumb middle = 14) vs its NEAREST cube face (selected per env from
         # the sphere center in cube-local coordinates) in ONE vectorized
         # computation. Round 2 tested all 5 x 6 tip-face pairs (38
         # total) with no phalanx contacts at all; nearest-face selection
@@ -435,6 +473,12 @@ class ShadowHand(Task):
                                  in self._hand_spheres], np.float32)
         sphere_links = [self._cube] * 8 + sph_links_l
         plane_links = [self._palm] * 8 + [self._cube] * n_sph
+        # Object scale is applied EXPLICITLY here (pre-scaled corner
+        # offsets / face points / init height / cube inertia) and
+        # _dyn_params leaves dp.scale at 1.0, so the contact functions'
+        # own params.scale multiply is the identity. Do not route a
+        # whole-actor scale dim through dp.scale in this task — offsets
+        # would be scaled twice (round-3 review note).
         cube_half = CUBE_HALF * s                           # (N,)
         corner_off = np.asarray(_CORNERS, np.float32)       # (8, 3)
         sph_off = jnp.concatenate([
@@ -447,7 +491,6 @@ class ShadowHand(Task):
         palm_nrms = jnp.broadcast_to(jnp.asarray(
             [(0.0, 0.0, 1.0)] * 8, jnp.float32)[:, :, None],
             (8, 3, n_env))
-        face_n = np.asarray([nrm for nrm, _pt in _FACES], np.float32)
         radii = np.asarray([0.002] * 8 + [g.size[0] for (_l, g, _n)
                                           in self._hand_spheres],
                            np.float32)
@@ -459,30 +502,8 @@ class ShadowHand(Task):
             jnp.broadcast_to(cube_half[None], (n_sph, n_env))], 0)
 
         def tip_face_planes(kin):
-            """Per-env nearest cube face for each hand sphere: cube-frame
-            (normal, point) arrays (n_sph, 3, N)."""
-            R_c, p_c = kin.R_w[self._cube], kin.p_w[self._cube]
-            R_t = kin.R_w[sph_arr]                         # (T, 3, 3, N)
-            p_t = kin.p_w[sph_arr]
-            off = jnp.broadcast_to(jnp.asarray(sph_off_np)[:, :, None],
-                                   (n_sph, 3, n_env))
-            center = p_t + jnp.stack(
-                [sum(R_t[:, i, k] * off[:, k] for k in range(3))
-                 for i in range(3)], 1)                    # world (T,3,N)
-            d = center - p_c[None]
-            c_loc = jnp.stack(
-                [sum(R_c[k, i] * d[:, k] for k in range(3))
-                 for i in range(3)], 1)                    # cube (T,3,N)
-            # Signed distance to each face plane; argmin = deepest face.
-            dists = jnp.stack(
-                [sum(fn_i * c_loc[:, i] for i, fn_i in enumerate(f))
-                 for f in face_n], 1) - cube_half[None, None, :]
-            sel = jax.nn.one_hot(jnp.argmin(dists, axis=1), len(_FACES),
-                                 axis=1, dtype=jnp.float32)  # (T, 6, N)
-            nrm = jnp.stack(
-                [sum(sel[:, f] * face_n[f, i] for f in range(len(_FACES)))
-                 for i in range(3)], 1)                    # (T, 3, N)
-            return nrm, nrm * cube_half[None, None, :]
+            return nearest_cube_faces(kin, self._cube, sph_arr,
+                                      sph_off_np, cube_half, n_env)
 
         # Finger PD drives are solved IMPLICITLY in forward_dynamics (the
         # PhysX drive semantics): explicit tau-PD on the tiny distal-link
@@ -606,13 +627,7 @@ class ShadowHand(Task):
         scale = width / 0.5                      # 0.5 m field of view
 
         def line(p0, p1, color, w=1):
-            n_pts = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1)) + 1
-            xs = np.linspace(p0[0], p1[0], n_pts).astype(int)
-            ys = np.linspace(p0[1], p1[1], n_pts).astype(int)
-            for dx in range(-w, w + 1):
-                for dy in range(-w, w + 1):
-                    img[np.clip(ys + dy, 0, height - 1),
-                        np.clip(xs + dx, 0, width - 1)] = color
+            draw_line(img, p0[0], p0[1], p1[0], p1[1], color, w)
 
         def square(center, half_px, yaw, color, w=1):
             c, s = np.cos(yaw), np.sin(yaw)

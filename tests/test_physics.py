@@ -338,6 +338,45 @@ class TestContacts:
         np.testing.assert_allclose(np.asarray(batched), np.asarray(total),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_halfsize_gates_tangential_axes_for_any_normal(self):
+        # The patch gate must bound the TWO in-plane axes whatever the
+        # plane-frame normal direction. For a y-normal pad (Franka finger
+        # pads, cube side faces) the old component-0/1 gate left the z
+        # extent unbounded and gated the (always-tiny) normal distance
+        # instead (round-3 review finding).
+        from bayes_sim_ig_tpu.physics.contact import (
+            sphere_plane_pair_forces)
+        from bayes_sim_ig_tpu.physics.dynamics import forward_kinematics
+        model = ArticulatedModel([
+            LinkSpec("pad", parent=-1, joint_type="free", mass=2.0,
+                     inertia=(0.02,) * 3),
+            LinkSpec("ball", parent=-1, joint_type="free", mass=0.5,
+                     inertia=(0.002,) * 3)], fixed_base=False)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], DynParams.defaults(model))
+        hs = 0.05
+
+        def force_at(ball_pos):
+            q = np.tile(model.neutral_q(), (1, 1)).astype(np.float32)
+            q[:, 0:3] = [0.0, 0.0, 0.5]          # pad body
+            q[:, 7:10] = ball_pos
+            kin = forward_kinematics(model, jnp.asarray(q),
+                                     jnp.zeros((1, model.nv)), params)
+            f = sphere_plane_pair_forces(
+                model, kin, params, sphere_link=1,
+                sphere_offset=(0, 0, 0), radius=0.03, plane_link=0,
+                plane_point=(0.0, 0.1, 0.0), plane_normal=(0, 1, 0),
+                mu=1.0, dt=1 / 120.0, plane_halfsize=hs)
+            return float(jnp.abs(f[1]).max())
+
+        # Touching the pad inside the patch: active.
+        assert force_at([0.0, 0.12, 0.5]) > 0.0
+        # Same normal distance but 8 cm away along z (> halfsize): the
+        # pad is a small square, so no contact.
+        assert force_at([0.0, 0.12, 0.58]) == 0.0
+        # And 8 cm along x: also gated (this axis already worked).
+        assert force_at([0.08, 0.12, 0.5]) == 0.0
+
     def test_ball_settles_at_analytic_rest_depth(self):
         ball = _ball()
         params = DynParams.defaults(ball)

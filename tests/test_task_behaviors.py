@@ -154,3 +154,61 @@ class TestShadowHandCube:
             heights.append(h0)
         # A larger cube starts/rests higher above the palm anchor.
         assert heights[1] > heights[0] + 0.02, heights
+
+    def test_side_face_contact_pushes_cube_away(self):
+        """Nearest-face selection contract (round-3 review finding: argmin
+        picked the OPPOSITE face, so side-face contacts were gated off
+        and spheres in a face's normal column drew phantom far-face
+        forces). A fingertip overlapping the cube's +x side face must
+        push the cube along +x; a cube 10 cm away must feel nothing."""
+        from bayes_sim_ig_tpu.sim.shadow_hand import CUBE_HALF
+        env = _delta_env("ShadowHand", np.ones(32), num_envs=1)
+        env.reset()
+        task = env.task
+        m = task.model
+        # World position of the ff fingertip contact sphere.
+        from bayes_sim_ig_tpu.physics import (forward_kinematics,
+                                              DynParams)
+        st = env.state.task_state
+        kin = forward_kinematics(m, st.q, st.v, DynParams.defaults(m))
+        tip_link, tip_geom, _ = task._hand_spheres[0]
+        R_t = np.asarray(kin.R_w[tip_link])[..., 0]
+        tip = (np.asarray(kin.p_w[tip_link])[:, 0]
+               + R_t @ np.asarray(tip_geom.offset))
+        r = tip_geom.size[0]
+
+        # Free-joint q is relative to the cube's parent-chain frame;
+        # measure the frame origin empirically (FK at q_cube = 0).
+        cq = task._cube_q
+        q_probe = np.asarray(st.q).copy()
+        q_probe[:, cq:cq + 3] = 0.0
+        kin_probe = forward_kinematics(m, jnp.asarray(q_probe), st.v,
+                                       DynParams.defaults(m))
+        joint_off = np.asarray(kin_probe.p_w[task._cube])[:, 0]
+
+        def cube_vel_after(cube_center):
+            stq = env.state.task_state
+            q = np.asarray(stq.q).copy()
+            q[:, cq:cq + 3] = cube_center - joint_off
+            q[:, cq + 3:cq + 7] = [1, 0, 0, 0]
+            env.state = env.state._replace(
+                task_state=stq._replace(q=jnp.asarray(q),
+                                        v=jnp.zeros_like(stq.v)))
+            env.step(jnp.zeros((1, 20)))
+            cv = m.v_off[task._cube]
+            return np.asarray(env.state.task_state.v)[0, cv + 3:cv + 6]
+
+        # Place the cube so its +x face penetrates the fingertip sphere
+        # by 5 mm (tip outside the face): the face contact pushes the
+        # sphere along +x and the cube along -x, away from the tip.
+        overlap_center = tip - np.array([CUBE_HALF + r - 0.005, 0, 0])
+        v_hit = cube_vel_after(overlap_center)
+        assert v_hit[0] < -1e-3, v_hit
+        # Free case: 25 cm to the side and above the palm, clear of every
+        # hand sphere — pure gravity, no phantom far-face force (the old
+        # argmin selection would fire one for spheres in a face's normal
+        # column).
+        v_free = cube_vel_after(overlap_center + np.array([0.0, 0.25,
+                                                           0.15]))
+        assert np.linalg.norm(v_free[:2]) < 1e-4, v_free
+        assert v_free[2] < 0, v_free  # just falling

@@ -33,6 +33,37 @@ def test_all_reference_tasks_registered():
     assert set(ALL_TASKS) <= set(available_tasks())
 
 
+def test_nearest_cube_face_selection():
+    """Unit contract for the ShadowHand per-sphere nearest-face pick
+    (round-3 review finding: argmin selected the OPPOSITE face). Spheres
+    placed just outside each of the 6 faces — and one inside near +y —
+    must select that face, with the plane point on it."""
+    from types import SimpleNamespace
+    from bayes_sim_ig_tpu.sim.shadow_hand import nearest_cube_faces
+    h = 0.03
+    half = jnp.full((1,), h)
+    faces = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                      [0, -1, 0], [0, 0, 1], [0, 0, -1]], np.float32)
+    # 6 probe links just outside each face + 1 just inside the +y face.
+    centers = np.concatenate([faces * (h + 0.004),
+                              [[0.0, h - 0.002, 0.0]]], 0)
+    expected = np.concatenate([faces, [[0, 1, 0]]], 0)
+    nb = len(centers) + 1                       # + cube link 0
+    R_w = np.broadcast_to(np.eye(3, dtype=np.float32)[None, :, :, None],
+                          (nb, 3, 3, 1))
+    p_w = np.zeros((nb, 3, 1), np.float32)
+    p_w[1:, :, 0] = centers                     # cube at origin
+    kin = SimpleNamespace(R_w=jnp.asarray(R_w), p_w=jnp.asarray(p_w))
+    nrm, pt = nearest_cube_faces(
+        kin, cube_link=0, sph_links=list(range(1, nb)),
+        sph_offsets=np.zeros((nb - 1, 3), np.float32), cube_half=half,
+        n_env=1)
+    np.testing.assert_allclose(np.asarray(nrm)[..., 0], expected,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pt)[..., 0], expected * h,
+                               atol=1e-6)
+
+
 @pytest.mark.parametrize("task_name", ALL_TASKS)
 def test_spec_matches_realparams(task_name):
     """Construction-only (no jit): every task builds from its package
