@@ -140,9 +140,10 @@ def sphere_plane_pair_forces(model: ArticulatedModel, kin,
 
     ``plane_point``/``plane_normal`` are in the plane body's frame;
     ``sphere_offset``/``plane_point`` accept static 3-vectors or per-env
-    (N, 3) arrays; ``plane_halfsize`` optionally deactivates the contact
-    when the sphere center leaves a square patch of that half-extent
-    around plane_point."""
+    ENV-LAST (3, N) arrays (env-first (N, 3) is rejected by ``_rows`` —
+    transpose at the call site); ``plane_halfsize`` optionally
+    deactivates the contact when the sphere center leaves a square patch
+    of that half-extent around plane_point."""
     single = kin.p_w.ndim == 2
     if single:
         kin = jax.tree_util.tree_map(lambda a: a[..., None], kin)

@@ -159,24 +159,32 @@ class TestShadowHandCube:
         """Nearest-face selection contract (round-3 review finding: argmin
         picked the OPPOSITE face, so side-face contacts were gated off
         and spheres in a face's normal column drew phantom far-face
-        forces). A fingertip overlapping the cube's +x side face must
-        push the cube along +x; a cube 10 cm away must feel nothing."""
-        from bayes_sim_ig_tpu.sim.shadow_hand import CUBE_HALF
+        forces). Asserted directly on the hand-sphere x cube-face contact
+        forces: a fingertip overlapping the cube's +x side face pushes
+        the cube along -x (and the finger along +x); with the cube moved
+        5 cm along +x — the fingertip now sits in the face's normal
+        column with an air gap, exactly the old phantom-force geometry —
+        every force is zero."""
+        from bayes_sim_ig_tpu.sim.shadow_hand import (
+            CUBE_HALF, nearest_cube_faces)
+        from bayes_sim_ig_tpu.physics.contact import (
+            sphere_plane_pairs_forces)
+        from bayes_sim_ig_tpu.physics import (forward_kinematics,
+                                              DynParams)
         env = _delta_env("ShadowHand", np.ones(32), num_envs=1)
         env.reset()
         task = env.task
         m = task.model
-        # World position of the ff fingertip contact sphere.
-        from bayes_sim_ig_tpu.physics import (forward_kinematics,
-                                              DynParams)
         st = env.state.task_state
         kin = forward_kinematics(m, st.q, st.v, DynParams.defaults(m))
-        tip_link, tip_geom, _ = task._hand_spheres[0]
+        # The ff FINGERTIP (distal) contact sphere, picked by body name.
+        tip_link, tip_geom, _ = next(
+            (l, g, n) for (l, g, n) in task._hand_spheres
+            if "ffdistal" in n)
         R_t = np.asarray(kin.R_w[tip_link])[..., 0]
         tip = (np.asarray(kin.p_w[tip_link])[:, 0]
                + R_t @ np.asarray(tip_geom.offset))
         r = tip_geom.size[0]
-
         # Free-joint q is relative to the cube's parent-chain frame;
         # measure the frame origin empirically (FK at q_cube = 0).
         cq = task._cube_q
@@ -186,29 +194,40 @@ class TestShadowHandCube:
                                        DynParams.defaults(m))
         joint_off = np.asarray(kin_probe.p_w[task._cube])[:, 0]
 
-        def cube_vel_after(cube_center):
-            stq = env.state.task_state
-            q = np.asarray(stq.q).copy()
+        # Probe with the fingertip sphere alone: the cube is much wider
+        # than the finger, so the full sphere set would add contacts
+        # from phalanx spheres swallowed by the cube volume.
+        sph_links = [tip_link]
+        sph_off = np.asarray([tip_geom.offset], np.float32)
+        radii = np.asarray([r], np.float32)
+        half = jnp.full((1,), CUBE_HALF)
+        dp = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None],
+                                    DynParams.defaults(m))
+
+        def face_forces(cube_center):
+            q = np.asarray(st.q).copy()
             q[:, cq:cq + 3] = cube_center - joint_off
             q[:, cq + 3:cq + 7] = [1, 0, 0, 0]
-            env.state = env.state._replace(
-                task_state=stq._replace(q=jnp.asarray(q),
-                                        v=jnp.zeros_like(stq.v)))
-            env.step(jnp.zeros((1, 20)))
-            cv = m.v_off[task._cube]
-            return np.asarray(env.state.task_state.v)[0, cv + 3:cv + 6]
+            k = forward_kinematics(m, jnp.asarray(q),
+                                   jnp.zeros_like(st.v), dp)
+            nrm, pt = nearest_cube_faces(k, task._cube, sph_links,
+                                         sph_off, half, 1)
+            f = sphere_plane_pairs_forces(
+                m, k, dp, sph_links, sph_off, radii,
+                [task._cube] * len(sph_links), pt, nrm, 1.0,
+                dt=task.dt / 2,
+                plane_halfsizes=np.full(len(sph_links), CUBE_HALF))
+            return np.asarray(f)
 
-        # Place the cube so its +x face penetrates the fingertip sphere
-        # by 5 mm (tip outside the face): the face contact pushes the
-        # sphere along +x and the cube along -x, away from the tip.
-        overlap_center = tip - np.array([CUBE_HALF + r - 0.005, 0, 0])
-        v_hit = cube_vel_after(overlap_center)
-        assert v_hit[0] < -1e-3, v_hit
-        # Free case: 25 cm to the side and above the palm, clear of every
-        # hand sphere — pure gravity, no phantom far-face force (the old
-        # argmin selection would fire one for spheres in a face's normal
-        # column).
-        v_free = cube_vel_after(overlap_center + np.array([0.0, 0.25,
-                                                           0.15]))
-        assert np.linalg.norm(v_free[:2]) < 1e-4, v_free
-        assert v_free[2] < 0, v_free  # just falling
+        # Cube's +x face penetrates the fingertip sphere by 5 mm.
+        overlap = tip - np.array([CUBE_HALF + r - 0.005, 0, 0])
+        f_hit = face_forces(overlap)
+        assert f_hit[task._cube, 3, 0] < -1e-3, f_hit[task._cube]
+        assert f_hit[tip_link, 3, 0] > 1e-3, f_hit[tip_link]
+        # Cube 3.5 cm further away along -x: the tip sits in the +x
+        # face's normal column with a 3 cm air gap. argmax -> inactive
+        # (depth < 0). The argmin bug selected the -x face here, whose
+        # "depth" r + 2*half + gap > 0 drew a huge phantom force through
+        # the centered tangential gate.
+        f_gap = face_forces(overlap - np.array([0.035, 0, 0]))
+        assert np.abs(f_gap).max() == 0.0, np.abs(f_gap).max()

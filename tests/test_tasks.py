@@ -64,6 +64,21 @@ def test_nearest_cube_face_selection():
                                atol=1e-6)
 
 
+def test_shadow_hand_dyn_params_leaves_scale_neutral():
+    """Structural invariant the contact geometry relies on: ShadowHand
+    applies object scale EXPLICITLY (pre-scaled corner offsets / face
+    points / init height) and must leave DynParams.scale at 1.0 — if a
+    scale dim were routed through dp.scale, the contact functions'
+    params.scale multiply would scale the offsets a second time and the
+    (unscaled) face-selection geometry would diverge from the force
+    geometry (round-3 review note at the physics_step call site)."""
+    import jax
+    env = make_env("ShadowHand", load_cfg("ShadowHand", 2))
+    row = jnp.asarray(np.full(env.task.params_spec.dim, 1.7, np.float32))
+    dp = env.task._dyn_params(row, jnp.asarray(0.0))
+    assert float(jax.device_get(dp.scale)) == 1.0
+
+
 @pytest.mark.parametrize("task_name", ALL_TASKS)
 def test_spec_matches_realparams(task_name):
     """Construction-only (no jit): every task builds from its package
