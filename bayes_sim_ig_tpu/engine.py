@@ -41,9 +41,17 @@ class BayesSim:
         self._refit_model = None
         model_class = model_cfg["modelClass"]
         self.summarizer_fxn = get_summarizer(model_cfg["summarizerFxn"])
+        # Probe with trainTrajLen + 1 steps — the length collection
+        # actually produces (collect overrides max_episode_length to
+        # max_traj_len + 1, collect_trajectories.py:35-37). The reference
+        # probes with trainTrajLen (bayes_sim.py:57-60), which makes the
+        # corr-family feature dim disagree with the training data's for
+        # trainTrajLen < 10 (no waypoint chop) and crashes the first fit
+        # — documented divergence, PARITY.md.
+        probe_len = int(model_cfg["trainTrajLen"]) + 1
         tmp = self.summarizer_fxn(
-            jnp.zeros((1, model_cfg["trainTrajLen"], obs_dim)),
-            jnp.zeros((1, model_cfg["trainTrajLen"], act_dim)))
+            jnp.zeros((1, probe_len, obs_dim)),
+            jnp.zeros((1, probe_len, act_dim)))
         traj_summaries_dim = int(tmp.shape[-1])
         full_covariance = bool(model_cfg.get("fullCovariance", False))
         kwargs_model = {
@@ -93,6 +101,15 @@ class BayesSim:
             print(f"dropping {n_bad} non-finite trajs of {ok.shape[0]}")
             traj_summaries = traj_summaries[ok]
             params = params[ok]
+        if traj_summaries.shape[0] == 0:
+            # Every trajectory in the chunk blew up (the extreme-DR case
+            # the drop above exists for): skip the fit entirely — an
+            # empty dataset would make the jitted minibatch sampler draw
+            # undefined randint(maxval=0) indices and train on garbage.
+            print("all trajectories in this chunk were non-finite; "
+                  "skipping the model update")
+            nan = float("nan")
+            return {"train_loss": [nan], "test_loss": [nan]}
         return self.model.run_training(
             x_data=traj_summaries, y_data=params,
             n_updates=BayesSim.NUM_GRAD_UPDATES,
@@ -153,7 +170,12 @@ class BayesSim:
                     n_gaussians=self.model.n_gaussians,
                     hidden_layers=(128, 128), lr=self.model.lr,
                     activation=self.model.activation,
-                    full_covariance=self.model.l_size > 0)
+                    # The reference passes `L_size > 0` here, which is
+                    # true for ANY params_dim >= 2 and silently upgrades
+                    # a diagonal-covariance model's refit to full
+                    # covariance (bayes_sim.py:160). Intent is to match
+                    # the main model (documented divergence, PARITY.md).
+                    full_covariance=self.model.full_covariance)
             else:
                 self._refit_model.reinit()
             mog_model = self._refit_model

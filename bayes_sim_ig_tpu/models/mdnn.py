@@ -244,22 +244,28 @@ class MDNN:
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
 
-            # Test loss is evaluated once per segment (n_updates//5), as in
-            # the reference (mdnn.py:235-242) — evaluating the full test
-            # split every update costs ~25x the minibatch step itself.
+            # Test loss is evaluated at the SAME checkpoint cadence as the
+            # reported train losses (the reference evaluates both every
+            # n_updates//5 updates plus the final one, mdnn.py:235-242):
+            # before each segment and once after the last, so the returned
+            # train/test lists are parallel series of equal length.
+            # Evaluating the full test split every update would cost ~25x
+            # the minibatch step itself.
             n_evals = min(5, n_updates)
             bounds = [i * n_updates // n_evals for i in range(n_evals + 1)]
-            keys = jax.random.split(key, n_updates + n_evals)
+            keys = jax.random.split(key, n_updates + n_evals + 1)
             train_parts, test_parts = [], []
             carry = (params, opt_state)
             for s in range(n_evals):
+                test_parts.append(loss_fn(carry[0], x_test, y_test,
+                                          keys[n_updates + s]))
                 length = bounds[s + 1] - bounds[s]
                 if length > 0:
                     carry, tr = jax.lax.scan(
                         step, carry, keys[bounds[s]:bounds[s + 1]])
                     train_parts.append(tr)
-                test_parts.append(loss_fn(carry[0], x_test, y_test,
-                                          keys[n_updates + s]))
+            test_parts.append(loss_fn(carry[0], x_test, y_test,
+                                      keys[n_updates + n_evals]))
             params = carry[0]
             return (params, jnp.concatenate(train_parts),
                     jnp.stack(test_parts))
@@ -275,6 +281,11 @@ class MDNN:
         x_data = jnp.asarray(x_data, jnp.float32)
         y_data = jnp.asarray(y_data, jnp.float32)
         assert x_data.shape[0] == y_data.shape[0]
+        # An empty dataset would make the jitted sampler draw
+        # randint(maxval=0) indices into a 0-row gather — undefined,
+        # silently training on garbage. Callers skip such chunks (the
+        # engine's non-finite-trajectory drop can empty one).
+        assert x_data.shape[0] > 0, "run_training called with no data"
         if self.output_lows is not None:
             y_data = self.normalize_samples(y_data)
         n_tot = x_data.shape[0]
@@ -291,11 +302,14 @@ class MDNN:
             x_data[n_train:], y_data[n_train:], run_key)
         train_losses = np.asarray(train_losses)
         test_losses = np.asarray(test_losses)
-        stride = max(int(n_updates) // 5, 1)
-        checkpoints = list(range(0, int(n_updates), stride))
-        if int(n_updates) - 1 not in checkpoints:
-            checkpoints.append(int(n_updates) - 1)
-        # test_losses holds one entry per segment (min(5, n_updates)).
+        # Checkpoints mirror the trainer's segment boundaries so the
+        # returned train/test lists are parallel, equal-length series
+        # (test entry s is evaluated at update checkpoints[s]; the last
+        # pair is the final state).
+        n_up = int(n_updates)
+        n_evals = min(5, n_up)
+        checkpoints = [s * n_up // n_evals for s in range(n_evals)] \
+            + [n_up - 1]
         return {"train_loss": [float(train_losses[i]) for i in checkpoints],
                 "test_loss": [float(t) for t in test_losses]}
 

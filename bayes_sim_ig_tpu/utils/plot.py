@@ -23,8 +23,12 @@ def plot_1d_posterior(ax, i, sim_params_names, true_params, posterior,
                       p_lower, p_upper, legend_on=False):
     """Marginal posterior curve vs the uniform prior with a true-value line
     (plot.py:19-35)."""
-    lo = p_lower[i] - 0.1 * p_lower[i]
-    hi = p_upper[i] + 0.1 * p_upper[i]
+    # Pad the window by 10% of the RANGE. The reference pads by 10% of
+    # the bound values themselves (plot.py:21-22), which shrinks or
+    # inverts the window when a bound is negative (empty plot) —
+    # documented divergence, PARITY.md.
+    pad = 0.1 * (p_upper[i] - p_lower[i])
+    lo, hi = p_lower[i] - pad, p_upper[i] + pad
     x = np.arange(lo, hi, 0.001).reshape(-1, 1)
     y = posterior.eval(x, ii=[i], log=False)
     prior = pdf.Uniform(p_lower[i:i + 1], p_upper[i:i + 1])

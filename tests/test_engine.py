@@ -129,6 +129,38 @@ def test_summary_dim_probe_and_mdrff_string_parsing():
     assert type(bsim.model).__name__ == "MDRFF"
 
 
+def test_all_nonfinite_chunk_skips_fit():
+    """If every trajectory in a chunk is dropped as non-finite (total
+    physics blow-up under extreme DR), the fit must be SKIPPED — an empty
+    dataset would make the jitted minibatch sampler draw undefined
+    randint(maxval=0) indices and silently train on garbage (round-3
+    review finding). The model must stay usable afterwards."""
+    cfg = _model_cfg("MDNN", "summary_waypts")
+    bsim = BayesSim(model_cfg=cfg, obs_dim=3, act_dim=1, params_dim=2,
+                    params_lows=np.array([0.01, 0.01]),
+                    params_highs=np.array([2.0, 2.0]))
+    import jax
+    n, t = 8, cfg["trainTrajLen"] + 1
+    states = np.full((n, t, 3), np.nan, np.float32)
+    actions = np.zeros((n, t - 1, 1), np.float32)
+    params_before = jax.tree_util.tree_map(np.asarray, bsim.model.params)
+    log = bsim.run_training(np.ones((n, 2), np.float32), states, actions)
+    assert np.isnan(log["train_loss"][-1])
+    # Parameters untouched by the skipped chunk.
+    after = jax.tree_util.tree_map(np.asarray, bsim.model.params)
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    # And a healthy chunk still trains.
+    rs = np.random.RandomState(0)
+    log2 = bsim.run_training(
+        rs.uniform(0.1, 1.9, (64, 2)).astype(np.float32),
+        rs.randn(64, t, 3).astype(np.float32),
+        rs.randn(64, t - 1, 1).astype(np.float32))
+    assert np.isfinite(log2["train_loss"][-1])
+    assert len(log2["train_loss"]) == len(log2["test_loss"])
+
+
 def test_get_n_trajs_per_batch():
     assert BayesSim.get_n_trajs_per_batch(10000, 0) == 1000
     assert BayesSim.get_n_trajs_per_batch(1500, 1000) == 500
