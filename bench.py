@@ -224,7 +224,11 @@ def bench_mdnn():
              full_covariance=False, hidden_layers=(128, 128),
              activation="tanh", lr=1e-4)
     n_updates, batch = 1000, 100
-    m.run_training(x, y, 10, batch)  # compile small variant first
+    # Warm with the SAME static (n_updates, batch): n_updates is a static
+    # scan length, so a different warmup value compiles a different graph
+    # and the timed call would include its own ~6 s compile (this exact
+    # mistake made a round-3 bench read 16k samples/s).
+    m.run_training(x, y, n_updates, batch)
     t0 = time.perf_counter()
     logs = m.run_training(x, y, n_updates, batch)
     float(logs["train_loss"][-1])  # host values -> honest fence
