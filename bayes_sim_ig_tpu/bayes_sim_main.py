@@ -110,6 +110,21 @@ def main(argv=None):
             if (all_real_states is not None
                     and np.ndim(all_real_states) == 0):
                 all_real_states = all_real_actions = None
+            # With ftune, the BayesSim model accumulates across
+            # iterations — restore it too, or the resumed run would
+            # silently predict from a model trained only on post-resume
+            # chunks while being fed ALL accumulated real trajectories.
+            if (bs_cfg["ftune"] and bs_cfg["modelClass"] != "None"
+                    and resumed.get("bsim_model") is not None):
+                import jax
+                bsim = BayesSim(
+                    model_cfg=bs_cfg, obs_dim=env.task.obs_dim,
+                    act_dim=env.task.act_dim, params_dim=spec.dim,
+                    params_lows=spec.lows, params_highs=spec.highs,
+                    prior=None, proposal=None, seed=args.seed)
+                bsim.model.params = jax.tree_util.tree_map(
+                    jax.numpy.asarray, resumed["bsim_model"])
+                print("Restored the ftuned BayesSim model")
             print(f"Resumed from iteration {start_iter - 1}; "
                   f"continuing at {start_iter}")
 
@@ -159,7 +174,15 @@ def main(argv=None):
                               real_iter_id)
         _write_video(writer, real_imgs, real_iter_id)
         if bs_cfg["modelClass"] == "None":
-            continue  # ablation: pure DR without BayesSim
+            # Ablation: pure DR without BayesSim. Close the profiler
+            # trace here — `continue` would otherwise skip the stop below
+            # and leak an ever-growing in-memory trace.
+            if real_iter_id == profile_iter:
+                import jax
+                jax.profiler.stop_trace()
+                print("Wrote XLA profile to",
+                      os.path.join(args.logdir, "profile"))
+            continue
 
         # ---- Collect randomized rollouts, train BayesSim. ------------ #
         print(f"Start BayesSim {bs_cfg['modelClass']} iter {real_iter_id}")
@@ -218,7 +241,8 @@ def main(argv=None):
               f"posterior:\n{sim_params_distr}")
         _save_iteration_checkpoint(args.logdir, real_iter_id,
                                    sim_params_distr, ppo,
-                                   all_real_states, all_real_actions)
+                                   all_real_states, all_real_actions,
+                                   bsim=bsim if bs_cfg["ftune"] else None)
     writer.close()
 
 
@@ -240,12 +264,13 @@ def _write_video(writer, imgs, step):
 
 def _save_iteration_checkpoint(logdir, real_iter_id, posterior, ppo,
                                all_real_states=None,
-                               all_real_actions=None):
-    """Posterior + policy + real-trajectory-accumulator checkpoint per ADR
-    iteration, enabling full outer-loop resume (the reference never saves
-    any of these, SURVEY.md §5.4)."""
+                               all_real_actions=None, bsim=None):
+    """Posterior + policy + real-trajectory-accumulator (+ ftuned
+    BayesSim model) checkpoint per ADR iteration, enabling full outer-loop
+    resume (the reference never saves any of these, SURVEY.md §5.4)."""
     path = os.path.join(logdir, "checkpoints")
     os.makedirs(path, exist_ok=True)
+    import jax
     with open(os.path.join(path, f"posterior_{real_iter_id}.pkl"),
               "wb") as f:
         pickle.dump({
@@ -257,6 +282,8 @@ def _save_iteration_checkpoint(logdir, real_iter_id, posterior, ppo,
             else np.asarray(all_real_states),
             "all_real_actions": None if all_real_actions is None
             else np.asarray(all_real_actions),
+            "bsim_model": None if bsim is None
+            else jax.tree_util.tree_map(np.asarray, bsim.model.params),
         }, f)
     ppo.save(os.path.join(path, f"policy_{real_iter_id}.ckpt"))
 

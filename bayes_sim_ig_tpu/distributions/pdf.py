@@ -86,9 +86,11 @@ class Uniform:
                         axis=1)
         p = np.where(inside, dens, 0.0)
         if log:
-            if not inside.any():
-                raise ValueError(
-                    "log prob. not defined outside of truncation")
+            # Outside rows get -inf CONSISTENTLY. The reference raises
+            # only when the whole batch is outside (pdf.py:186-188) —
+            # the same query then either crashes or silently yields -inf
+            # rows depending on what else is in the batch (documented
+            # divergence, PARITY.md).
             with np.errstate(divide="ignore"):
                 return np.log(p)
         return p

@@ -51,8 +51,13 @@ def schedule_scaling(cfg: NoiseConfig, frame_count) -> jnp.ndarray:
     """Schedule multiplier per apply_randomizations.py:70-76."""
     frame = jnp.asarray(frame_count, jnp.float32)
     if cfg.schedule == "linear":
-        return jnp.minimum(frame, cfg.schedule_steps) / max(
-            cfg.schedule_steps, 1)
+        if cfg.schedule_steps <= 0:
+            # 'linear' with no/zero schedule_steps would otherwise pin
+            # the multiplier at 0 FOREVER — silently disabling the
+            # configured noise (the reference hard-requires the key and
+            # KeyErrors instead). Treat it as fully ramped.
+            return jnp.asarray(1.0)
+        return jnp.minimum(frame, cfg.schedule_steps) / cfg.schedule_steps
     if cfg.schedule == "constant":
         return jnp.where(frame < cfg.schedule_steps, 0.0, 1.0)
     return jnp.asarray(1.0)

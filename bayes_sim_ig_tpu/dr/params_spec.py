@@ -217,6 +217,18 @@ def build_params_spec(
                         oper = attr_cfg["operation"]
                         dflts = np.atleast_1d(np.asarray(
                             prop_defaults.get(attr_name, 1.0), np.float64))
+                        if dflts.shape[0] != n_props:
+                            # Broadcast a scalar default across the
+                            # n_props bodies (n_props is the max over
+                            # attrs; a scalar default for one attr next
+                            # to per-body defaults for another would
+                            # otherwise IndexError). A length mismatch
+                            # that isn't a scalar is a config error.
+                            assert dflts.shape[0] == 1, (
+                                f"{actor_name}/{prop_name}/{attr_name}: "
+                                f"{dflts.shape[0]} defaults vs {n_props} "
+                                "bodies")
+                            dflts = np.broadcast_to(dflts, (n_props,))
                         emit(make_name(tn, oper, prop_name, prop_idx,
                                        attr_name),
                              lo_hi, oper, dflts[prop_idx],

@@ -330,7 +330,13 @@ class Quadcopter(_FlyerBase):
             "rigid_body_properties", "mass")
         self._stiff_dims = self.params_spec.indices_of(
             "dof_properties", "stiffness")
-        # Arm tilt dofs only (not the rotor spin dofs) are PD-controlled.
+        # ALL 8 revolute dofs are PD position-servoed (interleaved
+        # [tilt0, spin0, tilt1, spin1, ...]) — the IG Quadcopter drives 8
+        # dof targets + 4 thrusts (12 actions). Our arms carry one tilt +
+        # one z-axis "spin" dof where IG's have two perpendicular tilts;
+        # servoing the spin angle stands in for IG's second tilt (the
+        # thrust model reads only the first tilt; documented
+        # approximation).
         self._dof_v_idx = [m.v_off[i] for i in range(m.nb)
                            if m.joint_types[i] == "revolute"]
         self._dof_links = [i for i in range(m.nb)
@@ -346,8 +352,8 @@ class Quadcopter(_FlyerBase):
         self._scale_dims = self.params_spec.indices_of("scale", "")
 
     def _joint_targets(self, actions):
-        # First 8 actions: PD targets for all 8 dofs (arm tilts get the
-        # targets; rotor spins get 0 targets with tiny gains via damping).
+        # First 8 actions: PD position targets for all 8 dofs in the
+        # interleaved [tilt, spin] x 4 layout (see __init__ note).
         a = jnp.clip(actions[..., :8], -1.0, 1.0)
         return a * 0.52
 

@@ -263,11 +263,16 @@ class FrankaCabinet(Task):
         q, v, _ = carry
         return FrankaState(q=q, v=v, targets=targets)
 
-    def _hand_to_handle(self, state):
+    def _hand_to_handle(self, state, params=None):
         # FK only reads params.scale, so the default (unbatched) DynParams
-        # broadcast over the batched q/v. kin is env-last.
-        kin = forward_kinematics(self.model, state.q, state.v,
-                                 DynParams.defaults(self.model))
+        # broadcast over the batched q/v. With whole-actor scale DR
+        # configured, the sampled per-env scale must be used — otherwise
+        # obs/reward geometry diverges from the dynamics that produced
+        # the state (round-3 review finding). kin is env-last.
+        dp = DynParams.defaults(self.model)
+        if params is not None and self._scale_dims:
+            dp = dp._replace(scale=params[:, self._scale_dims[0]])
+        kin = forward_kinematics(self.model, state.q, state.v, dp)
         local = jnp.array([0.0, 0.0, 0.16])
         R = kin.R_w[self._hand]
         hand = kin.p_w[self._hand] + jnp.stack(
@@ -284,12 +289,12 @@ class FrankaCabinet(Task):
         vel = state.v[:, dof_v] * self.dof_vel_scale
         drawer_pos = state.q[:, self._drawer_q:self._drawer_q + 1]
         drawer_vel = state.v[:, self._drawer_v:self._drawer_v + 1]
-        to_handle = self._hand_to_handle(state)
+        to_handle = self._hand_to_handle(state, params)
         return jnp.concatenate([pos_scaled, vel, drawer_pos, drawer_vel,
                                 to_handle], axis=-1)
 
     def reward(self, state, actions, params):
-        to_handle = self._hand_to_handle(state)
+        to_handle = self._hand_to_handle(state, params)
         d = jnp.linalg.norm(to_handle, axis=-1)
         dist_reward = 1.0 / (1.0 + d ** 2)
         drawer_open = state.q[:, self._drawer_q]

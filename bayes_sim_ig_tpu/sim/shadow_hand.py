@@ -351,10 +351,14 @@ class ShadowHand(Task):
                                and k[3] == "friction"]
         self._hand_mass_dims = [i for i, k in enumerate(keys)
                                 if k[0] == "hand" and k[3] == "mass"]
-        self._scale_dim = [i for i, k in enumerate(keys)
-                           if k[1] == "scale"][0]
-        self._obj_mass_dim = [i for i, k in enumerate(keys)
-                              if k[0] == "object" and k[3] == "mass"][0]
+        # Optional like every other dim: custom configs without an
+        # object scale / object mass / tendon-stiffness entry fall back
+        # to the model defaults instead of crashing at construction.
+        _scale = [i for i, k in enumerate(keys) if k[1] == "scale"]
+        self._scale_dim = _scale[0] if _scale else None
+        _obj_mass = [i for i, k in enumerate(keys)
+                     if k[0] == "object" and k[3] == "mass"]
+        self._obj_mass_dim = _obj_mass[0] if _obj_mass else None
         self._hand_links_arr = np.array([name_map[b] for b in HAND_BODIES])
         # All hand contact spheres (fingertips + proximal/middle phalanx
         # + thumb middle) with their carrying body's name for friction DR.
@@ -366,6 +370,19 @@ class ShadowHand(Task):
             "sim_params", {}).get("gravity")
 
     # ------------------------------------------------------------------ #
+    def _obj_scale(self, params_row):
+        """Object-scale multiplier for one param row (1.0 if the config
+        has no scale dim)."""
+        if self._scale_dim is None:
+            return jnp.asarray(1.0)
+        return params_row[self._scale_dim]
+
+    def _obj_scale_batch(self, params):
+        """(N,) object-scale multipliers."""
+        if self._scale_dim is None:
+            return jnp.ones(params.shape[0])
+        return params[:, self._scale_dim]
+
     def _dyn_params(self, params_row, gravity_dz) -> DynParams:
         m = self.model
         base = DynParams.defaults(m)
@@ -373,10 +390,12 @@ class ShadowHand(Task):
         if self._hand_mass_dims:
             mult = params_row[jnp.asarray(self._hand_mass_dims)]
             mass = mass.at[jnp.asarray(self._hand_links_arr)].mul(mult)
-        mass = mass.at[self._cube].mul(params_row[self._obj_mass_dim])
+        if self._obj_mass_dim is not None:
+            mass = mass.at[self._cube].mul(
+                params_row[self._obj_mass_dim])
         inertia = base.inertia * (mass / base.mass)[:, None]
         # Cube inertia additionally scales with (object scale)^2.
-        s = params_row[self._scale_dim]
+        s = self._obj_scale(params_row)
         inertia = inertia.at[self._cube].mul(s ** 2)
         damping = base.damping
         if self._dof_damp_dims:  # shadow_hand_more: dof damping scaling
@@ -387,19 +406,22 @@ class ShadowHand(Task):
                              gravity=gravity)
 
     def _contact_frictions(self, params_row):
-        """Per-contact-sphere and cube friction multipliers, mapped from
-        each sphere's carrying body (only the shadow_hand_more config
-        randomizes shape friction)."""
+        """Per-contact-sphere, palm and cube friction multipliers, mapped
+        from each body's shape-friction dim (only the shadow_hand_more
+        config randomizes shape friction)."""
         sph_mu = jnp.ones(len(self._hand_spheres))
+        palm_mu = jnp.asarray(1.0)
         if self._hand_fric_dims:
             # Hand shape-friction dims follow HAND_BODIES order.
             body_pos = {b: j for j, b in enumerate(HAND_BODIES)}
             sel = jnp.asarray([self._hand_fric_dims[body_pos[name]]
                                for (_l, _g, name) in self._hand_spheres])
             sph_mu = params_row[sel]
+            palm_mu = params_row[
+                self._hand_fric_dims[body_pos["robot0:palm"]]]
         obj_mu = (params_row[self._obj_fric_dims[0]]
                   if self._obj_fric_dims else jnp.asarray(1.0))
-        return sph_mu, obj_mu
+        return sph_mu, palm_mu, obj_mu
 
     def init_state(self, key, params):
         n = params.shape[0]
@@ -409,7 +431,7 @@ class ShadowHand(Task):
         cq = self._cube_q
         q = jnp.tile(q0, (n, 1))
         # Cube resting on the palm (palm top ~ PALM_Z), scaled half-size.
-        s = params[:, self._scale_dim]
+        s = self._obj_scale_batch(params)
         cube_xy = jax.random.uniform(k1, (n, 2), minval=-0.01,
                                      maxval=0.01)
         q = q.at[:, cq + 0].set(0.06 + cube_xy[:, 0])
@@ -440,8 +462,12 @@ class ShadowHand(Task):
         targets = self._act_lo + (a + 1.0) * 0.5 * (self._act_hi
                                                     - self._act_lo)
         act_q, act_v = jnp.asarray(self._act_q), jnp.asarray(self._act_v)
-        s = params[:, self._scale_dim]                       # (N,)
-        tendon_k = 50.0 + params[:, jnp.asarray(self._tendon_dims)]
+        s = self._obj_scale_batch(params)                   # (N,)
+        if self._tendon_dims:  # additive stiffness DR dims
+            tendon_k = 50.0 + params[:, jnp.asarray(self._tendon_dims)]
+        else:
+            tendon_k = jnp.full((actions.shape[0],
+                                 len(self._tendon_pairs)), 50.0)
         tendon_d = jnp.ones_like(tendon_k)
         if self._tendon_damp_dims:
             tendon_d = params[:, jnp.asarray(self._tendon_damp_dims)]
@@ -452,7 +478,8 @@ class ShadowHand(Task):
             act_pos = [self._hand_dof_links.index(i)
                        for i in self._actuated_links]
             kp = kp * stiff_mult[:, jnp.asarray(act_pos)]
-        tip_mu, obj_mu = jax.vmap(self._contact_frictions)(params)
+        tip_mu, palm_mu, obj_mu = jax.vmap(self._contact_frictions)(
+            params)
 
         # --- contact pairs: 8 cube corners vs palm plane + every hand
         # contact sphere (5 fingertip distals + 8 proximal/middle phalanges +
@@ -495,8 +522,13 @@ class ShadowHand(Task):
                                           in self._hand_spheres],
                            np.float32)
         # mu combines the randomized hand-shape and object frictions.
-        mu_pairs = jnp.concatenate([jnp.ones((8, n_env)),
-                                    tip_mu.T * obj_mu[None, :]], 0)
+        # Corner-palm pairs combine the palm's shape-friction dim with
+        # the object's (they previously hardcoded mu=1, cutting the
+        # friction DR dims out of the cube's primary support contact —
+        # round-3 review finding).
+        mu_pairs = jnp.concatenate(
+            [jnp.broadcast_to((palm_mu * obj_mu)[None, :], (8, n_env)),
+             tip_mu.T * obj_mu[None, :]], 0)
         halfsizes = jnp.concatenate([
             jnp.full((8, n_env), 0.12),
             jnp.broadcast_to(cube_half[None], (n_sph, n_env))], 0)

@@ -82,6 +82,33 @@ def test_checkpoint_roundtrip(tmp_path):
                    Ss=list(resumed["covs"]))
     x = np.array([[1.1, 0.55]])
     np.testing.assert_allclose(mog2.eval(x), post.eval(x), rtol=1e-10)
+    # Without a bsim the model slot is explicitly empty.
+    assert resumed["bsim_model"] is None
+
+
+def test_checkpoint_saves_ftuned_bsim_model(tmp_path):
+    """With ftune, the accumulated BayesSim model must ride along in the
+    checkpoint — resume otherwise silently predicts from a fresh model
+    while consuming ALL accumulated real trajectories (round-3 review
+    finding)."""
+    import jax
+    from bayes_sim_ig_tpu.engine import BayesSim
+    cfg = {"modelClass": "MDNN", "summarizerFxn": "summary_start",
+           "trainTrajLen": 10, "components": 2, "hiddenLayers": [16],
+           "lr": 1e-3}
+    bsim = BayesSim(model_cfg=cfg, obs_dim=2, act_dim=1, params_dim=2,
+                    params_lows=np.array([0.0, 0.0]),
+                    params_highs=np.array([1.0, 1.0]))
+    post = pdf.MoG(a=[1.0], ms=[np.array([0.5, 0.5])],
+                   Ss=[np.eye(2) * 0.01])
+    _save_iteration_checkpoint(str(tmp_path), 1, post, _StubPPO(),
+                               bsim=bsim)
+    resumed = _load_latest_checkpoint(str(tmp_path), _StubPPO())
+    saved = resumed["bsim_model"]
+    assert saved is not None
+    for a, b in zip(jax.tree_util.tree_leaves(saved),
+                    jax.tree_util.tree_leaves(bsim.model.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_load_latest_checkpoint_empty(tmp_path):
