@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .model import ArticulatedModel, DynParams
+from .dynamics import mass_factor_solve
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -314,6 +315,214 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
     wr_s = jnp.concatenate([_cross(contact_pt - p_s, force), force], 1)
     wr_p = jnp.concatenate([_cross(contact_pt - p_p, -force), -force], 1)
     out = _fold(g_s.T, wr_s) + _fold(g_p.T, wr_p)
+    return out[..., 0] if single else out
+
+
+def _sphere_pair_geometry(model: ArticulatedModel, kin, params,
+                          links_a, offsets_a, radii_a,
+                          links_b, offsets_b, radii_b):
+    """Shared env-last sphere-pair contact geometry: one-hot link gathers,
+    world sphere centers, center-line normals (b -> a), penetration depth
+    and contact points for P sphere-sphere pairs. Expects an already
+    env-last (promoted) ``kin``/``params``. Coincident centers are guarded
+    to a fixed direction (force/impulse magnitude is zero there via the
+    depth clamp)."""
+    n = kin.p_w.shape[-1]
+    P = len(links_a)
+    scale = jnp.broadcast_to(jnp.asarray(params.scale), (n,))
+
+    def per_pair_vec(x):
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 2:
+            x = x[:, :, None]
+        return jnp.broadcast_to(x, (P, 3, n)) * scale
+
+    def per_pair_sc(x):
+        return jnp.broadcast_to(
+            jnp.asarray(x, jnp.float32).reshape(P, -1), (P, n)) * scale
+
+    off_a = per_pair_vec(offsets_a)
+    off_b = per_pair_vec(offsets_b)
+    r_a = per_pair_sc(radii_a)
+    r_b = per_pair_sc(radii_b)
+
+    g_a = np.zeros((P, model.nb), np.float32)
+    g_a[np.arange(P), np.asarray(links_a)] = 1.0
+    g_b = np.zeros((P, model.nb), np.float32)
+    g_b[np.arange(P), np.asarray(links_b)] = 1.0
+
+    def gather(mat):
+        return _fold(mat, kin.R_w), _fold(mat, kin.p_w), _fold(mat, kin.v)
+
+    R_a, p_a, v_a = gather(g_a)
+    R_b, p_b, v_b = gather(g_b)
+    c_a = p_a + _mv(R_a, off_a)
+    c_b = p_b + _mv(R_b, off_b)
+    d = c_a - c_b                                             # (P, 3, N)
+    dist = jnp.sqrt(jnp.sum(d * d, 1))                        # (P, N)
+    safe = jnp.maximum(dist, 1e-9)
+    n_w = d / safe[:, None, :]                                # b -> a
+    depth = (r_a + r_b) - dist
+    contact_pt = c_a - n_w * r_a[:, None, :]
+    return (g_a, g_b, R_a, p_a, v_a, R_b, p_b, v_b, r_a, r_b,
+            n_w, depth, contact_pt)
+
+
+def sphere_sphere_impulse(model: ArticulatedModel, kin, factor, v,
+                          params: DynParams, links_a, offsets_a, radii_a,
+                          links_b, offsets_b, radii_b, dt,
+                          beta=0.2, max_bias=1.0, iters=8):
+    """Velocity-level (constraint-based) resolution of P sphere-sphere
+    contact pairs: returns the generalized velocity ``v`` (N, nv) with
+    non-penetration impulses applied.
+
+    Why impulses and not a stiffer penalty: a position drive can press
+    two light links together with a force (servo effort / lever arm, ~7 N
+    for ShadowHand abduction) that no explicitly-stable penalty spring
+    referenced to the links' ~0.01 kg effective mass can statically
+    support at small penetration — the explicit stability bound
+    k <= 4 m_eff / h^2 caps the static force at ~m_eff * d * 4/h^2,
+    orders of magnitude short, so driven fingers crossed straight through
+    each other (round-3 probe). PhysX resolves exactly this with its
+    velocity-level TGS/PGS solver; this is the same construction on the
+    engine's own machinery:
+
+    * contact Jacobian rows come directly from the FK's world-Plücker dof
+      subspaces: J[c, m] = anc[a_c, m] - anc[b_c, m] times
+      n_c . (S_lin[m] + S_ang[m] x (pt_c - o)) — no new kinematics,
+    * the effective-inertia (Delassus) operator J M^-1 J^T reuses the
+      SAME mass factorization ``forward_dynamics`` already built this
+      substep (``return_factor=True``), including the implicit-drive
+      diagonal h(kd + h kp) — so the impulse works against the servo
+      impedance, not just the bare link mass,
+    * a fixed-iteration projected Jacobi sweep (under-relaxed; P and
+      iters are static, every iteration is a handful of fused env-last
+      multiply-adds — a scalar Gauss-Seidel chain emitted ~1400 tiny
+      kernels and cost 10x the whole physics step, measured) solves the
+      contact LCP with a clamped Baumgarte bias beta*depth/dt
+      (<= max_bias, PhysX's maxDepenetrationVelocity analogue).
+
+    Normal-only: tangential friction stays with the explicit penalty pass
+    (``sphere_sphere_pairs_forces``), which also supplies gentle-contact
+    restoring forces; the impulse only adds what the penalty cannot.
+    Batched env-last only (v (N, nv), factor from a batched
+    forward_dynamics call)."""
+    n = kin.p_w.shape[-1]
+    P = len(links_a)
+    (_g_a, _g_b, _R_a, _p_a, _v_a, _R_b, _p_b, _v_b, _r_a, _r_b,
+     n_w, depth, contact_pt) = _sphere_pair_geometry(
+        model, kin, params, links_a, offsets_a, radii_a,
+        links_b, offsets_b, radii_b)
+
+    anc = np.asarray(model.anc_dof)                       # (nb, nv)
+    d_anc = (anc[np.asarray(links_a)]
+             - anc[np.asarray(links_b)])                  # (P, nv) static
+    S = kin.S_o                                           # (nv, 6, N)
+    S_ang, S_lin = S[:, :3], S[:, 3:]
+    r_pt = contact_pt - kin.o[None]                       # (P, 3, N)
+    # n . (S_lin + S_ang x (pt-o)) = n . S_lin + S_ang . ((pt-o) x n).
+    # All contractions below are explicit broadcast-multiply-sums over
+    # the SHORT static axes with the env lanes trailing and untouched:
+    # einsum/dot_general with a trailing batch dim relayouts the (P, nv,
+    # N) operands to batch-leading, which alone cost more than the whole
+    # physics step (measured 10x regression).
+    rxn = _cross(r_pt, n_w)
+    J = sum(n_w[:, None, x] * S_lin[None, :, x]
+            + rxn[:, None, x] * S_ang[None, :, x]
+            for x in range(3))                            # (P, nv, N)
+    J = J * jnp.asarray(d_anc, jnp.float32)[:, :, None]
+
+    vT = jnp.asarray(v).T                                 # (nv, N)
+    v_n0 = jnp.sum(J * vT[None], 1)                       # (P, N)
+    X = mass_factor_solve(model, factor, J)               # (P, nv, N)
+    nv = J.shape[1]
+    lam_mat = sum(J[:, None, m] * X[None, :, m]
+                  for m in range(nv))                     # (P, P, N)
+
+    active = (depth > 0.0).astype(jnp.float32)
+    v_tgt = jnp.minimum(beta * jnp.maximum(depth, 0.0) / dt, max_bias)
+    rhs = v_tgt - v_n0                                    # (P, N)
+    inv_diag = active / (jnp.concatenate(
+        [lam_mat[p, p][None] for p in range(P)], 0) + 1e-9)
+    # Projected Jacobi with under-relaxation (omega balances the pair
+    # coupling through shared fingers; Delassus here is near diagonally
+    # dominant, and the fixed iteration count keeps the graph static).
+    omega = 0.7
+    lam = jnp.zeros((P, n))
+    for _ in range(iters):
+        resid = rhs - jnp.sum(lam_mat * lam[None], 1)     # (P, N)
+        lam = jnp.maximum(lam + omega * inv_diag * resid, 0.0)
+    dv = jnp.sum(X * lam[:, None, :], 0)                  # (nv, N)
+    return (vT + dv).T
+
+
+def sphere_sphere_pairs_forces(model: ArticulatedModel, kin,
+                               params: DynParams, links_a, offsets_a,
+                               radii_a, links_b, offsets_b, radii_b,
+                               mu=1.0, dt=1.0 / 60.0, tau=0.02,
+                               zeta=1.0):
+    """Penalty contacts between P pairs of spheres on (possibly the same)
+    articulated body — e.g. ShadowHand finger-finger collisions, which
+    the sphere/plane pair set cannot represent (before this, adjacent
+    fingers could pass through each other; the reference gets
+    finger-finger collision from PhysX's convex meshes,
+    ig_env_wrappers.py:314-371 wraps that task unchanged).
+
+    Same mass-adaptive normal/friction model and env-last batching as
+    ``sphere_plane_pairs_forces``: one vectorized computation over all P
+    pairs, wrench accumulation as static one-hot fold-matmuls, no
+    scatters. The contact normal is the center-center direction (exact
+    for spheres); coincident centers are guarded to a fixed axis with
+    zero force (depth clamp keeps the force finite and the direction
+    irrelevant at that measure-zero configuration).
+
+    links_a/links_b: static (P,) ints. offsets_a/offsets_b: (P, 3)
+    static or (P, 3, N) env-last, in each link's frame (scaled by
+    params.scale like all contact offsets). radii: (P,) or (P, N).
+    mu: scalar, (P,) or (P, N). Returns env-last (nb, 6, N) ((nb, 6)
+    for single-env kin)."""
+    single = kin.p_w.ndim == 2
+    if single:
+        kin = jax.tree_util.tree_map(lambda a: a[..., None], kin)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], params)
+    n = kin.p_w.shape[-1]
+    P = len(links_a)
+    (g_a, g_b, R_a, p_a, v_a, R_b, p_b, v_b, r_a, r_b,
+     n_w, depth, contact_pt) = _sphere_pair_geometry(
+        model, kin, params, links_a, offsets_a, radii_a,
+        links_b, offsets_b, radii_b)
+    mu_j = jnp.broadcast_to(
+        jnp.asarray(mu, jnp.float32).reshape(-1, 1), (P, n)) \
+        if jnp.asarray(mu).ndim <= 1 else jnp.asarray(mu, jnp.float32)
+
+    def point_vel(R, p, v6, pt):
+        w = _mv(R, v6[:, :3])
+        vl = _mv(R, v6[:, 3:])
+        return vl + _cross(w, pt - p)
+
+    v_rel = point_vel(R_a, p_a, v_a, contact_pt) - \
+        point_vel(R_b, p_b, v_b, contact_pt)
+    v_n = jnp.sum(v_rel * n_w, 1)
+    mass = jnp.asarray(params.mass).T                          # (nb, N)
+    m_a = _fold(g_a, mass)
+    m_b = _fold(g_b, mass)
+    m_eff = 1.0 / (1.0 / m_a + 1.0 / jnp.maximum(m_b, 1e-6))
+    f_n_mag = m_eff * (depth / tau ** 2 + 2.0 * zeta * (-v_n) / tau)
+    f_n_mag = jnp.where(depth > 0, jnp.maximum(f_n_mag, 0.0), 0.0)
+    v_t = v_rel - v_n[:, None, :] * n_w
+    v_t_norm = jnp.sqrt(jnp.sum(v_t * v_t, 1)) + 1e-8
+    inertia = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1)  # (nb,3,N)
+    i_mean = _fold(g_a, jnp.mean(inertia, 1)) + 1e-8
+    i_mean_b = _fold(g_b, jnp.mean(inertia, 1)) + 1e-8
+    m_eff_t = 1.0 / (1.0 / m_a + 1.0 / m_b
+                     + r_a ** 2 / i_mean + r_b ** 2 / i_mean_b)
+    cap = jnp.minimum(mu_j * f_n_mag, m_eff_t * v_t_norm / dt)
+    f_t = -v_t / v_t_norm[:, None, :] * cap[:, None, :]
+    force = n_w * f_n_mag[:, None, :] + f_t                   # on sphere a
+    wr_a = jnp.concatenate([_cross(contact_pt - p_a, force), force], 1)
+    wr_b = jnp.concatenate([_cross(contact_pt - p_b, -force), -force], 1)
+    out = _fold(g_a.T, wr_a) + _fold(g_b.T, wr_b)
     return out[..., 0] if single else out
 
 

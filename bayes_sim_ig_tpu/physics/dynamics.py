@@ -867,6 +867,24 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
     return qdd, kin
 
 
+def mass_factor_solve(model: ArticulatedModel, factor, rhs):
+    """Solves (M + diag_extra) X = rhs against a ``forward_dynamics``
+    factor (``return_factor=True``) for K extra right-hand sides in lanes
+    layout: rhs (K, nv, N) -> X (K, nv, N). Lets the velocity-level
+    contact impulse pass (contact.py) build the M^-1 J^T columns of the
+    Delassus operator from the factorization the dynamics solve already
+    paid for. Works for both factor kinds (tree LTDL rows broadcast the K
+    axis; the dense Cholesky substitutes per column, unrolled over the
+    static K)."""
+    kind, payload = factor
+    if kind == "tree":
+        rows = ltdl_substitute(model.dof_anc_chains, payload,
+                               [rhs[:, k] for k in range(model.nv)])
+        return jnp.stack(rows, 1)                          # (K, nv, N)
+    return jnp.stack([spd_substitute_lanes(payload, rhs[k])
+                      for k in range(rhs.shape[0])], 0)
+
+
 # Rigid-body velocity caps (PhysX defaults the reference's engine runs
 # with: maxLinearVelocity 1e2-class, maxAngularVelocity 64 rad/s).
 MAX_LIN_VEL = 100.0

@@ -43,7 +43,9 @@ from ..physics import (
     forward_kinematics, forward_dynamics, integrate,
     carried_mass_factor, clamp_limits,
 )
-from ..physics.contact import sphere_plane_pairs_forces
+from ..physics.contact import (sphere_plane_pairs_forces,
+                               sphere_sphere_impulse,
+                               sphere_sphere_pairs_forces)
 from ..physics.spatial import quat_to_rot, quat_mul
 from .render2d import draw_line
 from .task import Task
@@ -365,6 +367,17 @@ class ShadowHand(Task):
         link_to_body = {v: k for k, v in name_map.items()}
         self._hand_spheres = [(g.link, g, link_to_body[g.link])
                               for g in m.geoms if g.link != self._cube]
+        # Finger-finger sphere pairs (round 3, closing the PARITY.md
+        # contact-model caveat): adjacent fingers collide segment-by
+        # -segment and the thumb tip against the FF/MF/RF tips — without
+        # these, fingers pass freely through each other (PhysX gives the
+        # reference full hand self-collision). Sphere order in
+        # _hand_spheres: ff/mf/rf/lf x (proximal, middle, distal), then
+        # thmiddle, thdistal.
+        adj = [(f, f + 1) for f in range(3)]                  # ff-mf-rf-lf
+        self._ss_pairs = [(a * 3 + seg, b * 3 + seg)
+                          for (a, b) in adj for seg in range(3)]
+        self._ss_pairs += [(13, 2), (13, 5), (13, 8), (12, 2)]  # thumb
         self.setup_noise(cfg["task"]["randomization_params"])
         self._grav_cfg = cfg["task"]["randomization_params"].get(
             "sim_params", {}).get("gravity")
@@ -533,6 +546,17 @@ class ShadowHand(Task):
             jnp.full((8, n_env), 0.12),
             jnp.broadcast_to(cube_half[None], (n_sph, n_env))], 0)
 
+        # Finger-finger self-collision (13 sphere-sphere pairs, see
+        # __init__): friction per pair is the product of the two
+        # randomized hand-shape frictions.
+        ss_ai = np.asarray([a for a, _b in self._ss_pairs])
+        ss_bi = np.asarray([b for _a, b in self._ss_pairs])
+        sph_radii = np.asarray([g.size[0] for (_l, g, _n)
+                                in self._hand_spheres], np.float32)
+        ss_links_a = [sph_links_l[i] for i in ss_ai]
+        ss_links_b = [sph_links_l[i] for i in ss_bi]
+        ss_mu = tip_mu.T[ss_ai] * tip_mu.T[ss_bi]           # (P, N)
+
         def tip_face_planes(kin):
             return nearest_cube_faces(kin, self._cube, sph_arr,
                                       sph_off_np, cube_half, n_env)
@@ -569,11 +593,32 @@ class ShadowHand(Task):
                 m, kin, dp, sphere_links, sph_off, radii, plane_links,
                 plane_pts, plane_nrms, mu_pairs, dt=h,
                 plane_halfsizes=halfsizes)
+            f_ext = f_ext + sphere_sphere_pairs_forces(
+                m, kin, dp, ss_links_a, sph_off_np[ss_ai],
+                sph_radii[ss_ai], ss_links_b, sph_off_np[ss_bi],
+                sph_radii[ss_bi], mu=ss_mu, dt=h)
             qdd, _, factor = forward_dynamics(
                 m, q, v, tau, dp, f_ext, dt=h, kin=kin,
                 factor=carried_mass_factor(factor), return_factor=True,
                 drive_kp=kp_dof, drive_kd=kd_dof, drive_target=tgt_dof,
                 drive_effort=3.0)
+            # Velocity-level finger-finger resolution BEFORE the position
+            # integration (solve velocity constraints, then integrate —
+            # the standard ordering; resolving after integrate lets each
+            # substep's fresh drive velocity sink positions ~1 mm deeper
+            # before the veto, measured): the servos can press fingers
+            # together harder than any stable penalty spring on these
+            # ~0.01 kg effective masses can resist, so the penalty pass
+            # above (friction + gentle contact) is backed by a PGS
+            # impulse solve against this substep's own mass factor,
+            # applied to the predicted post-step velocity and folded
+            # back into qdd (see sphere_sphere_impulse).
+            v_pred = v + h * qdd
+            v_res = sphere_sphere_impulse(
+                m, kin, factor, v_pred, dp, ss_links_a, sph_off_np[ss_ai],
+                sph_radii[ss_ai], ss_links_b, sph_off_np[ss_bi],
+                sph_radii[ss_bi], dt=h)
+            qdd = qdd + (v_res - v_pred) / h
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v, factor), None

@@ -338,6 +338,134 @@ class TestContacts:
         np.testing.assert_allclose(np.asarray(batched), np.asarray(total),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_sphere_sphere_oracle(self):
+        # Two overlapping free balls at rest: the penalty normal force is
+        # f_n = m_eff * depth / tau^2 along the center line, equal and
+        # opposite (zero net force), zero when separated.
+        from bayes_sim_ig_tpu.physics.contact import (
+            sphere_sphere_pairs_forces)
+        from bayes_sim_ig_tpu.physics.dynamics import forward_kinematics
+        model = ArticulatedModel([
+            LinkSpec("a", parent=-1, joint_type="free", mass=2.0,
+                     inertia=(0.02,) * 3),
+            LinkSpec("b", parent=-1, joint_type="free", mass=0.5,
+                     inertia=(0.002,) * 3)], fixed_base=False)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], DynParams.defaults(model))
+        r_a, r_b = 0.1, 0.08
+        tau = 0.02
+
+        def forces(gap):
+            q = np.tile(model.neutral_q(), (1, 1)).astype(np.float32)
+            q[:, 0:3] = [0.0, 0.0, 0.5]
+            q[:, 7:10] = [r_a + r_b + gap, 0.0, 0.5]
+            kin = forward_kinematics(model, jnp.asarray(q),
+                                     jnp.zeros((1, model.nv)), params)
+            return np.asarray(sphere_sphere_pairs_forces(
+                model, kin, params, links_a=[0], offsets_a=[(0., 0., 0.)],
+                radii_a=[r_a], links_b=[1], offsets_b=[(0., 0., 0.)],
+                radii_b=[r_b], mu=1.0, dt=1 / 120.0, tau=tau))[..., 0]
+
+        depth = 0.01
+        f = forces(-depth)
+        m_eff = 1.0 / (1.0 / 2.0 + 1.0 / 0.5)
+        f_exp = m_eff * depth / tau ** 2
+        # Sphere b sits at +x of a, so a is pushed along -x, b along +x.
+        assert f[0, 3] == pytest.approx(-f_exp, rel=1e-4)
+        assert f[1, 3] == pytest.approx(f_exp, rel=1e-4)
+        np.testing.assert_allclose(f[0, 3:] + f[1, 3:], 0.0, atol=1e-4)
+        # Centers aligned with both COMs: no torque about either COM.
+        np.testing.assert_allclose(f[:, :3], 0.0, atol=1e-5)
+        np.testing.assert_allclose(forces(+0.01), 0.0)
+
+    def test_sphere_sphere_batched_equals_single(self):
+        from bayes_sim_ig_tpu.physics.contact import (
+            sphere_sphere_pairs_forces)
+        from bayes_sim_ig_tpu.physics.dynamics import forward_kinematics
+        model = ArticulatedModel([
+            LinkSpec("a", parent=-1, joint_type="free", mass=1.0,
+                     inertia=(0.01,) * 3),
+            LinkSpec("b", parent=-1, joint_type="free", mass=0.5,
+                     inertia=(0.002,) * 3)], fixed_base=False)
+        params = DynParams.defaults(model)
+        n = 3
+        rs = np.random.RandomState(1)
+        q = np.tile(model.neutral_q(), (n, 1)).astype(np.float32)
+        q[:, 0:3] = [0.0, 0.0, 0.5]
+        q[:, 7:10] = rs.uniform(-0.02, 0.02, (n, 3)) + [0.15, 0.0, 0.5]
+        v = rs.randn(n, model.nv).astype(np.float32) * 0.5
+        paramsb = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                       (n,) + jnp.asarray(a).shape),
+            params)
+        kinb = forward_kinematics(model, jnp.asarray(q), jnp.asarray(v),
+                                  paramsb)
+        kwargs = dict(links_a=[0, 0], offsets_a=[(0.05, 0., 0.),
+                                                 (0., 0., 0.)],
+                      radii_a=[0.08, 0.1], links_b=[1, 1],
+                      offsets_b=[(0., 0., 0.), (0.01, 0., 0.)],
+                      radii_b=[0.06, 0.05], mu=np.asarray([1.0, 0.7]),
+                      dt=1 / 120.0)
+        batched = np.asarray(sphere_sphere_pairs_forces(
+            model, kinb, paramsb, **kwargs))
+        assert np.abs(batched).max() > 0.0, "no active contact"
+        for e in range(n):
+            params1 = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a)[None], params)
+            kin1 = forward_kinematics(model, jnp.asarray(q[e:e + 1]),
+                                      jnp.asarray(v[e:e + 1]), params1)
+            single = np.asarray(sphere_sphere_pairs_forces(
+                model, kin1, params1, **kwargs))
+            np.testing.assert_allclose(batched[..., e], single[..., 0],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_sphere_sphere_impulse_stops_approach(self):
+        # Velocity-level contact pass: two overlapping balls approaching
+        # head-on must leave with non-negative (separating >= Baumgarte
+        # bias) relative normal velocity, with momentum conserved; when
+        # separated, the velocity is untouched.
+        from bayes_sim_ig_tpu.physics.contact import sphere_sphere_impulse
+        from bayes_sim_ig_tpu.physics.dynamics import (forward_dynamics,
+                                                       forward_kinematics)
+        model = ArticulatedModel([
+            LinkSpec("a", parent=-1, joint_type="free", mass=2.0,
+                     inertia=(0.02,) * 3),
+            LinkSpec("b", parent=-1, joint_type="free", mass=0.5,
+                     inertia=(0.002,) * 3)], fixed_base=False)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], DynParams.defaults(model))
+        r_a, r_b = 0.1, 0.08
+        dt = 1 / 120.0
+
+        def run(gap, vx_b=-1.0):
+            q = np.tile(model.neutral_q(), (1, 1)).astype(np.float32)
+            q[:, 0:3] = [0.0, 0.0, 0.5]
+            q[:, 7:10] = [r_a + r_b + gap, 0.0, 0.5]
+            v = jnp.zeros((1, model.nv)).at[0, 9].set(vx_b)  # b toward a
+            kin = forward_kinematics(model, jnp.asarray(q), v, params)
+            _, _, factor = forward_dynamics(
+                model, jnp.asarray(q), v, jnp.zeros((1, model.nv)),
+                params, dt=dt, kin=kin, return_factor=True)
+            v_new = sphere_sphere_impulse(
+                model, kin, factor, v, params, links_a=[0],
+                offsets_a=[(0., 0., 0.)], radii_a=[r_a], links_b=[1],
+                offsets_b=[(0., 0., 0.)], radii_b=[r_b], dt=dt)
+            return np.asarray(v), np.asarray(v_new)
+
+        v0, v1 = run(-0.005)
+        # Relative normal velocity (b->a normal is -x: v_n = -(vx_a-vx_b))
+        v_n_new = -(v1[0, 3] - v1[0, 9])
+        assert v_n_new >= -1e-5, v1
+        # Momentum conserved: m_a dv_a + m_b dv_b = 0 along x.
+        assert 2.0 * (v1[0, 3] - v0[0, 3]) + 0.5 * (v1[0, 9] - v0[0, 9]) \
+            == pytest.approx(0.0, abs=1e-5)
+        # No angular impulse for center-line contact through both COMs.
+        np.testing.assert_allclose(v1[0, [0, 1, 2, 6, 7, 8]], 0.0,
+                                   atol=1e-6)
+        # Separated: untouched even while approaching.
+        v0, v1 = run(+0.02)
+        np.testing.assert_allclose(v1, v0, atol=1e-7)
+
     def test_halfsize_gates_tangential_axes_for_any_normal(self):
         # The patch gate must bound the TWO in-plane axes whatever the
         # plane-frame normal direction. For a y-normal pad (Franka finger

@@ -231,3 +231,46 @@ class TestShadowHandCube:
         # the centered tangential gate.
         f_gap = face_forces(overlap - np.array([0.035, 0, 0]))
         assert np.abs(f_gap).max() == 0.0, np.abs(f_gap).max()
+
+    def test_fingers_cannot_cross_through_each_other(self):
+        """Finger-finger self-collision (round-3 addition closing the
+        PARITY.md contact caveat): abducting FF toward -y and MF toward
+        +y commands their tips through each other (lateral reach
+        ~0.032 m each vs a 0.022 m gap — without the sphere-sphere
+        pairs they swap sides). With self-collision they must stop at
+        contact: FF (which starts at higher y) keeps y_ff > y_mf, and
+        same-segment sphere centers stay outside ~the radii sum."""
+        from bayes_sim_ig_tpu.physics import (forward_kinematics,
+                                              DynParams)
+        env = _delta_env("ShadowHand", np.ones(32), num_envs=2)
+        env.reset()
+        task = env.task
+        act = np.zeros((2, 20), np.float32)
+        act[:, 2] = -1.0                      # FFJ3 abduction toward MF
+        act[:, 5] = 1.0                       # MFJ3 abduction toward FF
+        for _ in range(60):
+            env.step(jnp.asarray(act))
+        st = env.state.task_state
+        assert np.isfinite(np.asarray(st.q)).all()
+        dp = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                       (2,) + jnp.asarray(a).shape),
+            DynParams.defaults(task.model))
+        kin = forward_kinematics(task.model, st.q, st.v, dp)
+
+        def center(name_substr):
+            link, geom, _ = next((l, g, n) for (l, g, n)
+                                 in task._hand_spheres if name_substr in n)
+            R = np.moveaxis(np.asarray(kin.R_w[link]), -1, 0)  # (N,3,3)
+            p = np.asarray(kin.p_w[link]).T                    # (N,3)
+            return p + R @ np.asarray(geom.offset), geom.size[0]
+
+        for seg in ("proximal", "middle", "distal"):
+            c_ff, r_ff = center(f"ff{seg}")
+            c_mf, r_mf = center(f"mf{seg}")
+            gap = np.linalg.norm(c_ff - c_mf, axis=-1)
+            # Penalty contacts permit bounded penetration, not crossing.
+            assert (gap > 0.55 * (r_ff + r_mf)).all(), (seg, gap)
+        c_ff, _ = center("ffdistal")
+        c_mf, _ = center("mfdistal")
+        assert (c_ff[:, 1] > c_mf[:, 1]).all(), (c_ff[:, 1], c_mf[:, 1])
