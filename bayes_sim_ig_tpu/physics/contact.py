@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .model import ArticulatedModel, DynParams
-from .dynamics import mass_factor_solve
+from .dynamics import _phys_bf16, mass_factor_solve
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -218,7 +218,8 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
                               sphere_offsets, radii, plane_links,
                               plane_points, plane_normals, mu,
                               dt=1.0 / 60.0, tau=0.02, zeta=1.0,
-                              plane_halfsizes=None):
+                              plane_halfsizes=None,
+                              return_geometry=False):
     """Vectorized form of ``sphere_plane_pair_forces`` over P pairs at
     once — ONE set of tensor ops instead of P separate calls (ShadowHand
     has 38 pairs per substep; separate calls blow the per-step HLO to
@@ -291,7 +292,7 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
     m_p = _fold(g_p, mass)
     m_eff = 1.0 / (1.0 / m_s + 1.0 / jnp.maximum(m_p, 1e-6))
     f_n_mag = m_eff * (depth / tau ** 2 + 2.0 * zeta * (-v_n) / tau)
-    active = depth > 0
+    patch_ok = jnp.ones((P, n), bool)
     if plane_halfsizes is not None:
         hs = jnp.broadcast_to(
             jnp.asarray(plane_halfsizes, jnp.float32).reshape(P, -1),
@@ -302,7 +303,8 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
         local = _mvT(R_p, center - pp_w)                  # (P, 3, N)
         l_t = jnp.abs(local - jnp.sum(local * nrm, 1,
                                       keepdims=True) * nrm)
-        active = active & (jnp.max(l_t, 1) < hs)
+        patch_ok = jnp.max(l_t, 1) < hs
+    active = (depth > 0) & patch_ok
     f_n_mag = jnp.where(active, jnp.maximum(f_n_mag, 0.0), 0.0)
     v_t = v_rel - v_n[:, None, :] * n_w
     v_t_norm = jnp.sqrt(jnp.sum(v_t * v_t, 1)) + 1e-8
@@ -315,6 +317,134 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
     wr_s = jnp.concatenate([_cross(contact_pt - p_s, force), force], 1)
     wr_p = jnp.concatenate([_cross(contact_pt - p_p, -force), -force], 1)
     out = _fold(g_s.T, wr_s) + _fold(g_p.T, wr_p)
+    if return_geometry:
+        # Patch-gated geometry for contact_pairs_impulse (batched only):
+        # pairs outside the face patch report depth -1 (never active).
+        depth_eff = jnp.where(patch_ok, depth, -1.0)
+        return out, (n_w, depth_eff, contact_pt)
+    return out[..., 0] if single else out
+
+
+def sphere_box_pairs_forces(model: ArticulatedModel, kin,
+                            params: DynParams, sphere_links,
+                            sphere_offsets, radii, box_link, box_half,
+                            mu, dt=1.0 / 60.0, tau=0.02, zeta=1.0,
+                            return_geometry=False):
+    """Penalty contacts between P spheres on an articulated body and ONE
+    box-shaped link, with EXACT closest-point geometry: the contact
+    point is the sphere center clamped to the box (faces, edges and
+    corners handled uniformly); for a center inside the box the nearest
+    face is used. This replaces the per-face plane model for the
+    ShadowHand cube: the face-patch gate there turned every face off for
+    a sphere approaching diagonally across an edge, so overlap built up
+    before ANY pair activated (measured 19 mm transients under an
+    adversarial max-curl squeeze — 3x the allowed slop; the reference
+    gets exact box contacts from PhysX's convex collision).
+
+    Same mass-adaptive penalty/friction model and env-last batching as
+    ``sphere_plane_pairs_forces``. sphere_links: static (P,) ints.
+    sphere_offsets: (P, 3) static or (P, 3, N) env-last (sphere-link
+    frame, scaled by params.scale). radii: (P,) or (P, N) (scaled).
+    box_half: scalar, (N,), or (3,)/(3, N) half-extents in the box
+    frame, NOT scaled by params.scale (pass pre-scaled halves — the
+    ShadowHand applies object scale explicitly). mu: scalar, (P,) or
+    (P, N). Returns env-last (nb, 6, N), or with
+    ``return_geometry=True`` also (n_w, depth, contact_pt) for
+    ``contact_pairs_impulse`` (no gating needed — closest-point depth
+    is exact everywhere)."""
+    single = kin.p_w.ndim == 2
+    if single:
+        kin = jax.tree_util.tree_map(lambda a: a[..., None], kin)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], params)
+    n = kin.p_w.shape[-1]
+    P = len(sphere_links)
+    scale = jnp.broadcast_to(jnp.asarray(params.scale), (n,))
+
+    off = jnp.asarray(sphere_offsets, jnp.float32)
+    if off.ndim == 2:
+        off = off[:, :, None]
+    off = jnp.broadcast_to(off, (P, 3, n)) * scale
+    r_j = jnp.broadcast_to(
+        jnp.asarray(radii, jnp.float32).reshape(P, -1), (P, n)) * scale
+    mu_j = jnp.broadcast_to(
+        jnp.asarray(mu, jnp.float32).reshape(-1, 1), (P, n)) \
+        if jnp.asarray(mu).ndim <= 1 else jnp.asarray(mu, jnp.float32)
+    half_a = jnp.asarray(box_half, jnp.float32)
+    if half_a.ndim <= 1 and half_a.shape != (3,):
+        half = jnp.broadcast_to(half_a.reshape(1, -1), (3, n))
+    else:
+        half = jnp.broadcast_to(half_a.reshape(3, -1), (3, n))
+
+    g_s = np.zeros((P, model.nb), np.float32)
+    g_s[np.arange(P), np.asarray(sphere_links)] = 1.0
+    R_s = _fold(g_s, kin.R_w)
+    p_s = _fold(g_s, kin.p_w)
+    v_s = _fold(g_s, kin.v)
+    R_b, p_b, v_b = (kin.R_w[box_link], kin.p_w[box_link],
+                     kin.v[box_link])
+    center = p_s + _mv(R_s, off)                          # (P, 3, N)
+    local = jnp.stack(
+        [sum(R_b[k, i] * (center[:, k] - p_b[None, k])
+             for k in range(3)) for i in range(3)], 1)    # (P, 3, N)
+    clamped = jnp.clip(local, -half[None], half[None])
+    delta = local - clamped
+    dist_out = jnp.sqrt(jnp.sum(delta * delta, 1))        # (P, N)
+    inside = dist_out <= 0.0
+    # Outside: normal along center-closest; contact point = closest.
+    n_out = delta / jnp.maximum(dist_out, 1e-9)[:, None, :]
+    # Inside: least-penetrated face (one-hot over the static 3 axes).
+    s_in = half[None] - jnp.abs(local)                    # (P, 3, N)
+    sel = jax.nn.one_hot(jnp.argmin(s_in, axis=1), 3, axis=1,
+                         dtype=jnp.float32)               # (P, 3, N)
+    n_in = sel * jnp.sign(local)
+    pt_in = local * (1.0 - sel) + sel * jnp.sign(local) * half[None]
+    depth = jnp.where(inside, r_j + jnp.sum(sel * s_in, 1),
+                      r_j - dist_out)
+    n_loc = jnp.where(inside[:, None, :], n_in, n_out)
+    pt_loc = jnp.where(inside[:, None, :], pt_in, clamped)
+    n_w = _mv(jnp.broadcast_to(R_b[None], (P, 3, 3, n)), n_loc)
+    contact_pt = p_b[None] + _mv(
+        jnp.broadcast_to(R_b[None], (P, 3, 3, n)), pt_loc)
+
+    def point_vel(R, p, v6, pt):
+        w = _mv(R, v6[:, :3])
+        vl = _mv(R, v6[:, 3:])
+        return vl + _cross(w, pt - p)
+
+    def point_vel_single(R, p, v6, pt):
+        w = jnp.stack([sum(R[i, k] * v6[k] for k in range(3))
+                       for i in range(3)], 0)             # (3, N)
+        vl = jnp.stack([sum(R[i, k] * v6[3 + k] for k in range(3))
+                        for i in range(3)], 0)
+        return (vl[None] + _cross(jnp.broadcast_to(w[None], pt.shape),
+                                  pt - p[None]))
+
+    v_rel = point_vel(R_s, p_s, v_s, contact_pt) - \
+        point_vel_single(R_b, p_b, v_b, contact_pt)
+    v_n = jnp.sum(v_rel * n_w, 1)
+    mass = jnp.asarray(params.mass).T                     # (nb, N)
+    m_s = _fold(g_s, mass)
+    m_b = mass[box_link][None]                            # (1, N)
+    m_eff = 1.0 / (1.0 / m_s + 1.0 / jnp.maximum(m_b, 1e-6))
+    f_n_mag = m_eff * (depth / tau ** 2 + 2.0 * zeta * (-v_n) / tau)
+    f_n_mag = jnp.where(depth > 0, jnp.maximum(f_n_mag, 0.0), 0.0)
+    v_t = v_rel - v_n[:, None, :] * n_w
+    v_t_norm = jnp.sqrt(jnp.sum(v_t * v_t, 1)) + 1e-8
+    inertia = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1)
+    i_mean = _fold(g_s, jnp.mean(inertia, 1)) + 1e-8
+    m_eff_t = 1.0 / (1.0 / m_s + r_j ** 2 / i_mean)
+    cap = jnp.minimum(mu_j * f_n_mag, m_eff_t * v_t_norm / dt)
+    f_t = -v_t / v_t_norm[:, None, :] * cap[:, None, :]
+    force = n_w * f_n_mag[:, None, :] + f_t               # on spheres
+    wr_s = jnp.concatenate([_cross(contact_pt - p_s, force), force], 1)
+    wr_b = jnp.concatenate(
+        [_cross(contact_pt - p_b[None], -force), -force], 1)
+    g_b = np.zeros((P, model.nb), np.float32)
+    g_b[:, box_link] = 1.0
+    out = _fold(g_s.T, wr_s) + _fold(g_b.T, wr_b)
+    if return_geometry:
+        return out, (n_w, depth, contact_pt)
     return out[..., 0] if single else out
 
 
@@ -368,13 +498,12 @@ def _sphere_pair_geometry(model: ArticulatedModel, kin, params,
             n_w, depth, contact_pt)
 
 
-def sphere_sphere_impulse(model: ArticulatedModel, kin, factor, v,
-                          params: DynParams, links_a, offsets_a, radii_a,
-                          links_b, offsets_b, radii_b, dt,
-                          beta=0.2, max_bias=1.0, iters=8):
-    """Velocity-level (constraint-based) resolution of P sphere-sphere
-    contact pairs: returns the generalized velocity ``v`` (N, nv) with
-    non-penetration impulses applied.
+def contact_pairs_impulse(model: ArticulatedModel, kin, factor, v,
+                          links_a, links_b, n_w, depth, contact_pt, dt,
+                          beta=0.2, max_bias=1.0, iters=4, slop=0.0):
+    """Velocity-level (constraint-based) resolution of P contact pairs
+    with precomputed geometry: returns the generalized velocity ``v``
+    (N, nv) with non-penetration impulses applied.
 
     Why impulses and not a stiffer penalty: a position drive can press
     two light links together with a force (servo effort / lever arm, ~7 N
@@ -383,9 +512,9 @@ def sphere_sphere_impulse(model: ArticulatedModel, kin, factor, v,
     support at small penetration — the explicit stability bound
     k <= 4 m_eff / h^2 caps the static force at ~m_eff * d * 4/h^2,
     orders of magnitude short, so driven fingers crossed straight through
-    each other (round-3 probe). PhysX resolves exactly this with its
-    velocity-level TGS/PGS solver; this is the same construction on the
-    engine's own machinery:
+    each other (and fingertips through the cube) in the round-3 probes.
+    PhysX resolves exactly this with its velocity-level TGS/PGS solver;
+    this is the same construction on the engine's own machinery:
 
     * contact Jacobian rows come directly from the FK's world-Plücker dof
       subspaces: J[c, m] = anc[a_c, m] - anc[b_c, m] times
@@ -399,21 +528,42 @@ def sphere_sphere_impulse(model: ArticulatedModel, kin, factor, v,
       iters are static, every iteration is a handful of fused env-last
       multiply-adds — a scalar Gauss-Seidel chain emitted ~1400 tiny
       kernels and cost 10x the whole physics step, measured) solves the
-      contact LCP with a clamped Baumgarte bias beta*depth/dt
+      contact LCP with a clamped Baumgarte bias beta*(depth-slop)/dt
       (<= max_bias, PhysX's maxDepenetrationVelocity analogue).
 
-    Normal-only: tangential friction stays with the explicit penalty pass
-    (``sphere_sphere_pairs_forces``), which also supplies gentle-contact
-    restoring forces; the impulse only adds what the penalty cannot.
-    Batched env-last only (v (N, nv), factor from a batched
-    forward_dynamics call)."""
-    n = kin.p_w.shape[-1]
-    P = len(links_a)
-    (_g_a, _g_b, _R_a, _p_a, _v_a, _R_b, _p_b, _v_b, _r_a, _r_b,
-     n_w, depth, contact_pt) = _sphere_pair_geometry(
-        model, kin, params, links_a, offsets_a, radii_a,
-        links_b, offsets_b, radii_b)
+    ``slop`` (scalar or (P,) / (P, N)): allowed rest penetration — the
+    PhysX rest-offset analogue. The impulse engages only at depth > slop,
+    leaving the penalty pass to own gentle/resting contact INCLUDING its
+    friction (an impulse active at zero depth would hold the bodies apart
+    before the penalty's normal force — and therefore its Coulomb cap —
+    could form, leaving e.g. a cube resting frictionless on the palm).
 
+    Geometry inputs are env-last: n_w/contact_pt (P, 3, N) with n
+    pointing from body b toward body a, depth (P, N) positive in
+    penetration (pass a gated depth, e.g. -1, for pairs outside a face
+    patch). Normal-only: tangential friction stays with the penalty
+    passes. Batched env-last only (v (N, nv), factor from a batched
+    forward_dynamics call).
+
+    For multi-substep steps, split the call: ``contact_pairs_impulse_
+    prepare`` once per control step (Jacobians + M^-1 J^T — the
+    expensive half) and ``contact_pairs_impulse_apply`` per substep with
+    fresh depth/velocities — PhysX TGS's one-Jacobian-per-frame,
+    many-velocity-sweeps structure; J moves O(mm) within a step."""
+    payload = contact_pairs_impulse_prepare(
+        model, kin, factor, links_a, links_b, n_w, contact_pt)
+    return contact_pairs_impulse_apply(payload, v, depth, dt, beta=beta,
+                                       max_bias=max_bias, iters=iters,
+                                       slop=slop)
+
+
+def contact_pairs_impulse_prepare(model: ArticulatedModel, kin, factor,
+                                  links_a, links_b, n_w, contact_pt):
+    """Expensive, geometry-slow half of ``contact_pairs_impulse``:
+    contact Jacobians from the FK's world-Plücker dof subspaces and the
+    M^-1 J^T columns against the step's mass factorization. Reusable
+    across a step's substeps (see contact_pairs_impulse docstring)."""
+    P = len(links_a)
     anc = np.asarray(model.anc_dof)                       # (nb, nv)
     d_anc = (anc[np.asarray(links_a)]
              - anc[np.asarray(links_b)])                  # (P, nv) static
@@ -431,36 +581,116 @@ def sphere_sphere_impulse(model: ArticulatedModel, kin, factor, v,
             + rxn[:, None, x] * S_ang[None, :, x]
             for x in range(3))                            # (P, nv, N)
     J = J * jnp.asarray(d_anc, jnp.float32)[:, :, None]
+    # Materialize J once: fused into its several consumers (v_n0, the
+    # solve RHS, the sweep's J.w reduce) XLA recomputes the whole
+    # build per use.
+    J = jax.lax.optimization_barrier(J)
+    # The M^-1 J^T solve and the Delassus operator are the pass's
+    # bandwidth (P*nv*N and P*P*N tensors streamed repeatedly); under
+    # the engine's standard bf16 policy they run in bf16 — a ~0.4%
+    # impulse perturbation the projected sweep and the Baumgarte bias
+    # absorb (measured: f32 everywhere cost 45% of ShadowHand step
+    # throughput at P=35). v_n0, lam and the final dv stay f32.
+    J_s = J.astype(jnp.bfloat16) if _phys_bf16() else J
+    X = jax.lax.optimization_barrier(
+        mass_factor_solve(model, factor, J_s))            # (P, nv, N)
+    # The Delassus operator J M^-1 J^T is NEVER materialized: a (P, P,
+    # N) tensor rebuilt and re-read per sweep scaled the pass O(P^2 N)
+    # and cost 45% of the whole ShadowHand step at P=35 (measured
+    # 2.2M vs 5.4M env-steps/s). Matrix-free application in the sweeps
+    # is two skinny (P, nv, N) contractions; only the diagonal is
+    # precomputed.
+    diag = jnp.sum((J_s * X).astype(jnp.float32), 1) + 1e-9   # (P, N)
+    share = ((np.asarray(links_a)[:, None] == np.asarray(links_a)[None])
+             | (np.asarray(links_a)[:, None] == np.asarray(links_b)[None])
+             | (np.asarray(links_b)[:, None] == np.asarray(links_a)[None])
+             | (np.asarray(links_b)[:, None] == np.asarray(links_b)[None])
+             ).astype(np.float32)                         # (P, P) static
+    return dict(J=J, J_s=J_s, X=X, diag=diag, share=share)
 
+
+def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
+                                max_bias=1.0, iters=4, slop=0.0):
+    """Cheap per-substep half of ``contact_pairs_impulse``: speculative
+    targets from the CURRENT depth, projected mass-splitting Jacobi
+    sweeps against the prepared Jacobian/solve, applied to the CURRENT
+    (predicted post-substep) velocity."""
+    J, J_s, X, diag = (payload["J"], payload["J_s"], payload["X"],
+                       payload["diag"])
+    P, _nv, n = J.shape
     vT = jnp.asarray(v).T                                 # (nv, N)
     v_n0 = jnp.sum(J * vT[None], 1)                       # (P, N)
-    X = mass_factor_solve(model, factor, J)               # (P, nv, N)
-    nv = J.shape[1]
-    lam_mat = sum(J[:, None, m] * X[None, :, m]
-                  for m in range(nv))                     # (P, P, N)
 
-    active = (depth > 0.0).astype(jnp.float32)
-    v_tgt = jnp.minimum(beta * jnp.maximum(depth, 0.0) / dt, max_bias)
+    over = depth - jnp.broadcast_to(
+        jnp.asarray(slop, jnp.float32).reshape(-1, 1), depth.shape) \
+        if jnp.asarray(slop).ndim <= 1 else depth - jnp.asarray(slop)
+    # SPECULATIVE contact targets (PhysX's speculative CCD at the
+    # velocity level): not-yet-touching pairs may approach, but only
+    # fast enough to reach `slop` by the end of this substep —
+    # v_n >= (depth - slop)/dt (negative = allowed approach). Without
+    # this, a clamped-velocity servo punch (25 rad/s * 0.09 m lever =
+    # 2.2 m/s tip speed) sinks ~18 mm in the one substep before a
+    # touch-activated constraint could engage (measured). Already-
+    # penetrated pairs push out at the gentler Baumgarte rate. Pairs
+    # gated off by geometry (depth sentinel -1) get a -100 m/s-class
+    # target that never binds, so no separate active mask is needed —
+    # the lambda >= 0 projection keeps them at zero.
+    v_tgt = jnp.where(over > 0.0,
+                      jnp.minimum(beta * over / dt, max_bias),
+                      over / dt)
     rhs = v_tgt - v_n0                                    # (P, N)
-    inv_diag = active / (jnp.concatenate(
-        [lam_mat[p, p][None] for p in range(P)], 0) + 1e-9)
-    # Projected Jacobi with under-relaxation (omega balances the pair
-    # coupling through shared fingers; Delassus here is near diagonally
-    # dominant, and the fixed iteration count keeps the graph static).
-    omega = 0.7
+    # Projected Jacobi with MASS-SPLITTING relaxation (Tonge et al.'s
+    # parallel-contact construction): each pair's correction is divided
+    # by the number of currently-binding pairs that share a body with
+    # it. Plain under-relaxed Jacobi diverges on redundant contact sets
+    # — e.g. 8 cube corners pressing the same light body along one
+    # normal give a coupling row-sum of ~deg/m_cube against a diagonal
+    # of ~1/m_cube, and the lambda >= 0 projection turns the divergence
+    # into chaotic under-resolution. Sequential Gauss-Seidel resolves
+    # redundancy naturally but is a non-starter here: the unrolled
+    # P*iters*P dependent chain measured 722k vs 3.96M env-steps/s
+    # (5.5x) at 16k envs AND blew the compile up by minutes. The
+    # degree-scaled sweep keeps every iteration a handful of fused
+    # env-last ops (the share mask is static, built in prepare).
+    bind = (rhs > 0.0).astype(jnp.float32)                # (P, N)
+    deg = _fold(payload["share"], bind)                   # (P, N)
+    omega = bind / jnp.maximum(deg, 1.0)
     lam = jnp.zeros((P, n))
     for _ in range(iters):
-        resid = rhs - jnp.sum(lam_mat * lam[None], 1)     # (P, N)
-        lam = jnp.maximum(lam + omega * inv_diag * resid, 0.0)
+        # The barrier stops XLA fusing this P-reduce into the m-reduce
+        # below, which recomputes w per pair row — P x the bytes
+        # (measured 1.67 ms/sweep, 42 GB/s effective, 32% of the whole
+        # ShadowHand step).
+        w = jax.lax.optimization_barrier(
+            jnp.sum(X * lam[:, None, :], 0))              # (nv, N)
+        resid = rhs - jnp.sum(J_s * w[None], 1)           # (P, N)
+        lam = jnp.maximum(lam + omega * resid / diag, 0.0)
     dv = jnp.sum(X * lam[:, None, :], 0)                  # (nv, N)
     return (vT + dv).T
+
+
+def sphere_sphere_impulse(model: ArticulatedModel, kin, factor, v,
+                          params: DynParams, links_a, offsets_a, radii_a,
+                          links_b, offsets_b, radii_b, dt,
+                          beta=0.2, max_bias=1.0, iters=4, slop=0.0):
+    """``contact_pairs_impulse`` over P sphere-sphere pairs, computing
+    the center-line geometry via ``_sphere_pair_geometry`` (same input
+    conventions as ``sphere_sphere_pairs_forces``)."""
+    (_g_a, _g_b, _R_a, _p_a, _v_a, _R_b, _p_b, _v_b, _r_a, _r_b,
+     n_w, depth, contact_pt) = _sphere_pair_geometry(
+        model, kin, params, links_a, offsets_a, radii_a,
+        links_b, offsets_b, radii_b)
+    return contact_pairs_impulse(model, kin, factor, v, links_a, links_b,
+                                 n_w, depth, contact_pt, dt, beta=beta,
+                                 max_bias=max_bias, iters=iters,
+                                 slop=slop)
 
 
 def sphere_sphere_pairs_forces(model: ArticulatedModel, kin,
                                params: DynParams, links_a, offsets_a,
                                radii_a, links_b, offsets_b, radii_b,
                                mu=1.0, dt=1.0 / 60.0, tau=0.02,
-                               zeta=1.0):
+                               zeta=1.0, return_geometry=False):
     """Penalty contacts between P pairs of spheres on (possibly the same)
     articulated body — e.g. ShadowHand finger-finger collisions, which
     the sphere/plane pair set cannot represent (before this, adjacent
@@ -523,6 +753,8 @@ def sphere_sphere_pairs_forces(model: ArticulatedModel, kin,
     wr_a = jnp.concatenate([_cross(contact_pt - p_a, force), force], 1)
     wr_b = jnp.concatenate([_cross(contact_pt - p_b, -force), -force], 1)
     out = _fold(g_a.T, wr_a) + _fold(g_b.T, wr_b)
+    if return_geometry:
+        return out, (n_w, depth, contact_pt)
     return out[..., 0] if single else out
 
 

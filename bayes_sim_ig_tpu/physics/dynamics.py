@@ -875,13 +875,24 @@ def mass_factor_solve(model: ArticulatedModel, factor, rhs):
     Delassus operator from the factorization the dynamics solve already
     paid for. Works for both factor kinds (tree LTDL rows broadcast the K
     axis; the dense Cholesky substitutes per column, unrolled over the
-    static K)."""
+    static K).
+
+    The solve runs in the dtype of ``rhs``: the impulse pass passes bf16
+    under the engine's standard bf16 policy (_phys_bf16) — the K-RHS
+    substitution is pure bandwidth, a ~0.4% perturbation of an impulse
+    the LCP sweep iterates on anyway (the dynamics solve itself stays
+    f32). The tree factor's (N,)-rows are cast once per call (tiny)."""
     kind, payload = factor
     if kind == "tree":
+        if rhs.dtype != jnp.float32:
+            H, D = payload
+            payload = ({k: v.astype(rhs.dtype) for k, v in H.items()},
+                       [d.astype(rhs.dtype) for d in D])
         rows = ltdl_substitute(model.dof_anc_chains, payload,
                                [rhs[:, k] for k in range(model.nv)])
         return jnp.stack(rows, 1)                          # (K, nv, N)
-    return jnp.stack([spd_substitute_lanes(payload, rhs[k])
+    return jnp.stack([spd_substitute_lanes(payload,
+                                           rhs[k].astype(jnp.float32))
                       for k in range(rhs.shape[0])], 0)
 
 

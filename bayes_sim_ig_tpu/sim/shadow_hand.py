@@ -30,6 +30,8 @@ bonus 250, fall distance 0.24).
 
 from __future__ import annotations
 
+import os
+
 from typing import NamedTuple
 
 import numpy as np
@@ -43,8 +45,10 @@ from ..physics import (
     forward_kinematics, forward_dynamics, integrate,
     carried_mass_factor, clamp_limits,
 )
-from ..physics.contact import (sphere_plane_pairs_forces,
-                               sphere_sphere_impulse,
+from ..physics.contact import (contact_pairs_impulse_apply,
+                               contact_pairs_impulse_prepare,
+                               sphere_box_pairs_forces,
+                               sphere_plane_pairs_forces,
                                sphere_sphere_pairs_forces)
 from ..physics.spatial import quat_to_rot, quat_mul
 from .render2d import draw_line
@@ -197,6 +201,12 @@ def nearest_cube_faces(kin, cube_link, sph_links, sph_offsets, cube_half,
                        n_env):
     """Per-env nearest cube face for each contact sphere: cube-frame
     (normal, point) arrays (T, 3, N).
+
+    No longer on the hot path: the live hand-cube contacts use
+    ``sphere_box_pairs_forces``'s exact closest-point geometry (edge and
+    corner approaches included), which subsumes nearest-face selection.
+    Kept as the unit-tested selection contract (tests/test_tasks.py) and
+    for the physics-level face-force test in test_task_behaviors.py.
 
     The nearest face — the one a sphere is about to touch from outside —
     is the one with the LARGEST signed distance outside its plane
@@ -494,72 +504,72 @@ class ShadowHand(Task):
         tip_mu, palm_mu, obj_mu = jax.vmap(self._contact_frictions)(
             params)
 
-        # --- contact pairs: 8 cube corners vs palm plane + every hand
-        # contact sphere (5 fingertip distals + 8 proximal/middle phalanges +
-        # thumb middle = 14) vs its NEAREST cube face (selected per env from
-        # the sphere center in cube-local coordinates) in ONE vectorized
-        # computation. Round 2 tested all 5 x 6 tip-face pairs (38
-        # total) with no phalanx contacts at all; nearest-face selection
-        # cuts the per-pair transform/velocity/force work ~3x per sphere
-        # (identical forces except exactly on a cube edge, where the
-        # all-pairs model double-counted two shallow face contacts), and
-        # the freed budget pays for the phalanx spheres that make grasp
-        # -like interactions representable (VERDICT round-2 weak #6).
+        # --- contact pairs: 8 cube corners vs palm plane (patch-gated
+        # plane contacts) + every hand contact sphere (5 fingertip
+        # distals + 8 proximal/middle phalanges + thumb middle = 14) vs
+        # the cube with EXACT box closest-point geometry, each set ONE
+        # vectorized computation. Round 2 tested all 5 x 6 tip-face
+        # pairs (38 plane pairs, no phalanx contacts); round 3 first
+        # moved to per-env nearest-face selection (~3x less per-pair
+        # work) and then to sphere-box closest points: the face-patch
+        # gate dropped edge/corner approaches entirely, letting spheres
+        # build ~19 mm of overlap before any pair activated (see
+        # sphere_box_pairs_forces).
         n_env = actions.shape[0]
         sph_links_l = [l for (l, _g, _n) in self._hand_spheres]
         n_sph = len(sph_links_l)
-        sph_arr = np.asarray(sph_links_l)
         sph_off_np = np.asarray([g.offset for (_l, g, _n)
                                  in self._hand_spheres], np.float32)
-        sphere_links = [self._cube] * 8 + sph_links_l
-        plane_links = [self._palm] * 8 + [self._cube] * n_sph
         # Object scale is applied EXPLICITLY here (pre-scaled corner
-        # offsets / face points / init height / cube inertia) and
+        # offsets / box half-extents / init height / cube inertia) and
         # _dyn_params leaves dp.scale at 1.0, so the contact functions'
         # own params.scale multiply is the identity. Do not route a
         # whole-actor scale dim through dp.scale in this task — offsets
         # would be scaled twice (round-3 review note).
         cube_half = CUBE_HALF * s                           # (N,)
         corner_off = np.asarray(_CORNERS, np.float32)       # (8, 3)
-        sph_off = jnp.concatenate([
-            corner_off[:, :, None] * cube_half[None, None, :],
-            jnp.broadcast_to(sph_off_np[:, :, None],
-                             (n_sph, 3, n_env))], 0)
+        corner_off_s = corner_off[:, :, None] * cube_half[None, None, :]
         palm_pts = jnp.broadcast_to(jnp.asarray(
             [(0.06, 0.0, 0.012)] * 8, jnp.float32)[:, :, None],
             (8, 3, n_env))
         palm_nrms = jnp.broadcast_to(jnp.asarray(
             [(0.0, 0.0, 1.0)] * 8, jnp.float32)[:, :, None],
             (8, 3, n_env))
-        radii = np.asarray([0.002] * 8 + [g.size[0] for (_l, g, _n)
-                                          in self._hand_spheres],
-                           np.float32)
+        sph_radii = np.asarray([g.size[0] for (_l, g, _n)
+                                in self._hand_spheres], np.float32)
         # mu combines the randomized hand-shape and object frictions.
         # Corner-palm pairs combine the palm's shape-friction dim with
         # the object's (they previously hardcoded mu=1, cutting the
         # friction DR dims out of the cube's primary support contact —
         # round-3 review finding).
-        mu_pairs = jnp.concatenate(
-            [jnp.broadcast_to((palm_mu * obj_mu)[None, :], (8, n_env)),
-             tip_mu.T * obj_mu[None, :]], 0)
-        halfsizes = jnp.concatenate([
-            jnp.full((8, n_env), 0.12),
-            jnp.broadcast_to(cube_half[None], (n_sph, n_env))], 0)
+        mu_palm = jnp.broadcast_to((palm_mu * obj_mu)[None, :],
+                                   (8, n_env))
+        mu_box = tip_mu.T * obj_mu[None, :]                 # (14, N)
 
         # Finger-finger self-collision (13 sphere-sphere pairs, see
         # __init__): friction per pair is the product of the two
         # randomized hand-shape frictions.
         ss_ai = np.asarray([a for a, _b in self._ss_pairs])
         ss_bi = np.asarray([b for _a, b in self._ss_pairs])
-        sph_radii = np.asarray([g.size[0] for (_l, g, _n)
-                                in self._hand_spheres], np.float32)
         ss_links_a = [sph_links_l[i] for i in ss_ai]
         ss_links_b = [sph_links_l[i] for i in ss_bi]
         ss_mu = tip_mu.T[ss_ai] * tip_mu.T[ss_bi]           # (P, N)
-
-        def tip_face_planes(kin):
-            return nearest_cube_faces(kin, self._cube, sph_arr,
-                                      sph_off_np, cube_half, n_env)
+        # One combined impulse pair set: corner-palm plane pairs +
+        # hand-sphere-vs-cube box pairs + finger-finger sphere pairs.
+        # Cube contacts get a 6 mm rest slop (> the penalty's ~4 mm free
+        # rest depth) so resting contact and its friction stay with the
+        # penalty pass and the impulse only stops servo crush-through;
+        # finger-finger pairs get none.
+        imp_links_a = [self._cube] * 8 + sph_links_l + ss_links_a
+        imp_links_b = [self._palm] * 8 + [self._cube] * n_sph \
+            + ss_links_b
+        imp_slop = np.asarray([0.006] * (8 + n_sph)
+                              + [0.0] * len(ss_links_a), np.float32)
+        # BSIM_HAND_IMPULSE: "1" (default) = all 35 pairs, "ss" =
+        # finger-finger only (13), "0" = penalty-only (perf A/B knob;
+        # "0"/"ss" re-admit servo crush-through, see contact_pairs_
+        # impulse).
+        imp_mode = os.environ.get("BSIM_HAND_IMPULSE", "1")
 
         # Finger PD drives are solved IMPLICITLY in forward_dynamics (the
         # PhysX drive semantics): explicit tau-PD on the tiny distal-link
@@ -586,39 +596,60 @@ class ShadowHand(Task):
                 tau = tau.at[:, v1].add(-f_t)
                 tau = tau.at[:, v0].add(f_t)
             kin = forward_kinematics(m, q, v, dp)
-            face_nrm, face_pt = tip_face_planes(kin)
-            plane_nrms = jnp.concatenate([palm_nrms, face_nrm], 0)
-            plane_pts = jnp.concatenate([palm_pts, face_pt], 0)
-            f_ext = sphere_plane_pairs_forces(
-                m, kin, dp, sphere_links, sph_off, radii, plane_links,
-                plane_pts, plane_nrms, mu_pairs, dt=h,
-                plane_halfsizes=halfsizes)
-            f_ext = f_ext + sphere_sphere_pairs_forces(
+            f_palm, geo_palm = sphere_plane_pairs_forces(
+                m, kin, dp, [self._cube] * 8, corner_off_s,
+                np.full(8, 0.002, np.float32), [self._palm] * 8,
+                palm_pts, palm_nrms, mu_palm, dt=h,
+                plane_halfsizes=np.full(8, 0.12, np.float32),
+                return_geometry=True)
+            f_box, geo_box = sphere_box_pairs_forces(
+                m, kin, dp, sph_links_l, sph_off_np, sph_radii,
+                self._cube, cube_half, mu_box, dt=h,
+                return_geometry=True)
+            f_ss, geo_ss = sphere_sphere_pairs_forces(
                 m, kin, dp, ss_links_a, sph_off_np[ss_ai],
                 sph_radii[ss_ai], ss_links_b, sph_off_np[ss_bi],
-                sph_radii[ss_bi], mu=ss_mu, dt=h)
+                sph_radii[ss_bi], mu=ss_mu, dt=h, return_geometry=True)
+            f_ext = f_palm + f_box + f_ss
+            imp_geo = tuple(jnp.concatenate([a, b, c], 0)
+                            for a, b, c in zip(geo_palm, geo_box,
+                                               geo_ss))
             qdd, _, factor = forward_dynamics(
                 m, q, v, tau, dp, f_ext, dt=h, kin=kin,
                 factor=carried_mass_factor(factor), return_factor=True,
                 drive_kp=kp_dof, drive_kd=kd_dof, drive_target=tgt_dof,
                 drive_effort=3.0)
-            # Velocity-level finger-finger resolution BEFORE the position
+            # Velocity-level contact resolution BEFORE the position
             # integration (solve velocity constraints, then integrate —
             # the standard ordering; resolving after integrate lets each
             # substep's fresh drive velocity sink positions ~1 mm deeper
             # before the veto, measured): the servos can press fingers
-            # together harder than any stable penalty spring on these
-            # ~0.01 kg effective masses can resist, so the penalty pass
-            # above (friction + gentle contact) is backed by a PGS
-            # impulse solve against this substep's own mass factor,
-            # applied to the predicted post-step velocity and folded
-            # back into qdd (see sphere_sphere_impulse).
-            v_pred = v + h * qdd
-            v_res = sphere_sphere_impulse(
-                m, kin, factor, v_pred, dp, ss_links_a, sph_off_np[ss_ai],
-                sph_radii[ss_ai], ss_links_b, sph_off_np[ss_bi],
-                sph_radii[ss_bi], dt=h)
-            qdd = qdd + (v_res - v_pred) / h
+            # into each other AND into the cube/palm harder than any
+            # stable penalty spring on these ~0.01 kg effective masses
+            # can resist, so the penalty passes above (friction + gentle
+            # contact) are backed by one PGS impulse solve over all 35
+            # pairs against this substep's own mass factor, applied to
+            # the predicted post-step velocity and folded back into qdd
+            # (see contact_pairs_impulse).
+            if imp_mode != "0":
+                if imp_mode == "ss":
+                    n_cube = 8 + n_sph
+                    la, lb, slop = ss_links_a, ss_links_b, 0.0
+                    geo = tuple(g[n_cube:] for g in imp_geo)
+                else:
+                    la, lb, slop = imp_links_a, imp_links_b, imp_slop
+                    geo = imp_geo
+                # TGS-style split: the Jacobian + M^-1 J^T prepare (the
+                # expensive half) runs on the FIRST substep only and is
+                # reused — J moves O(mm) within a control step; the
+                # sweeps run per substep against fresh depth/velocity.
+                if imp_prep[0] is None:
+                    imp_prep[0] = contact_pairs_impulse_prepare(
+                        m, kin, factor, la, lb, geo[0], geo[2])
+                v_pred = v + h * qdd
+                v_res = contact_pairs_impulse_apply(
+                    imp_prep[0], v_pred, geo[1], dt=h, slop=slop)
+                qdd = qdd + (v_res - v_pred) / h
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v, factor), None
@@ -630,6 +661,7 @@ class ShadowHand(Task):
         # factor enables the opt-in frozen-mass substep scheme
         # (BSIM_FROZEN_MASS=1; measured slower here, dynamics.py).
         carry = (state.q, state.v, None)
+        imp_prep = [None]        # filled at substep-1 trace, then reused
         for _ in range(self.substeps):
             carry, _ = substep(carry, None)
         q, v, _ = carry

@@ -466,6 +466,68 @@ class TestContacts:
         v0, v1 = run(+0.02)
         np.testing.assert_allclose(v1, v0, atol=1e-7)
 
+    def test_sphere_box_face_matches_plane_and_handles_edges(self):
+        # On a pure face overlap the box closest-point contact must
+        # reproduce the plane-pair force; diagonally across an edge the
+        # patch-gated plane model reports nothing while the box contact
+        # pushes along the edge diagonal; beyond the corner with an air
+        # gap it is zero.
+        from bayes_sim_ig_tpu.physics.contact import (
+            sphere_box_pairs_forces, sphere_plane_pairs_forces)
+        from bayes_sim_ig_tpu.physics.dynamics import forward_kinematics
+        model = ArticulatedModel([
+            LinkSpec("box", parent=-1, joint_type="free", mass=0.08,
+                     inertia=(6e-5,) * 3),
+            LinkSpec("ball", parent=-1, joint_type="free", mass=0.02,
+                     inertia=(5e-6,) * 3)], fixed_base=False)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], DynParams.defaults(model))
+        half, r = 0.0325, 0.009
+        rs = np.random.RandomState(3)
+
+        def kin_at(ball_pos, v=None):
+            q = np.tile(model.neutral_q(), (1, 1)).astype(np.float32)
+            q[:, 0:3] = [0.0, 0.0, 0.5]
+            q[:, 7:10] = np.asarray(ball_pos) + [0.0, 0.0, 0.5]
+            # small enough that the damping term cannot zero the
+            # critically-damped normal force at 4 mm depth
+            vv = jnp.asarray(v) if v is not None else \
+                jnp.asarray(rs.randn(1, model.nv).astype(np.float32)
+                            * 0.02)
+            return forward_kinematics(model, jnp.asarray(q), vv, params)
+
+        def box_f(kin):
+            return np.asarray(sphere_box_pairs_forces(
+                model, kin, params, [1], [(0., 0., 0.)], [r], 0,
+                half, mu=0.9, dt=1 / 120.0))
+
+        # Static face contact (+z, 4 mm deep): equals the plane-pair
+        # model. (Compared at rest: with sliding friction the two models
+        # legitimately differ in torque by depth*n x f_t — the box op
+        # anchors the contact at the box SURFACE point, the plane op at
+        # the sphere's lowest point.)
+        kin = kin_at([0.004, -0.006, half + r - 0.004],
+                     v=np.zeros((1, model.nv)))
+        f_box = box_f(kin)
+        f_plane = np.asarray(sphere_plane_pairs_forces(
+            model, kin, params, [1], [(0., 0., 0.)], [r], [0],
+            [(0., 0., half)], [(0., 0., 1.)], 0.9, dt=1 / 120.0,
+            plane_halfsizes=[half]))
+        assert np.abs(f_box).max() > 0
+        np.testing.assert_allclose(f_box, f_plane, rtol=1e-4, atol=1e-5)
+        # Edge overlap: center outside both face columns, within r of
+        # the x-z edge. Normal = diagonal, so the ball is pushed +x and
+        # +z; the face-patch plane model reports nothing here.
+        d = half + r * 0.5 / np.sqrt(2)
+        kin = kin_at([d, 0.0, d], v=np.zeros((1, model.nv)))
+        f_box = box_f(kin)
+        assert f_box[1, 3] > 0 and f_box[1, 5] > 0, f_box[1]
+        assert f_box[1, 3] == pytest.approx(f_box[1, 5], rel=1e-3)
+        # Past the corner with an air gap: zero.
+        g = half + r * 1.01 / np.sqrt(3)
+        assert np.abs(box_f(kin_at([g, g, g],
+                                   v=np.zeros((1, model.nv))))).max() == 0
+
     def test_halfsize_gates_tangential_axes_for_any_normal(self):
         # The patch gate must bound the TWO in-plane axes whatever the
         # plane-frame normal direction. For a y-normal pad (Franka finger
