@@ -581,17 +581,19 @@ def contact_pairs_impulse_prepare(model: ArticulatedModel, kin, factor,
             + rxn[:, None, x] * S_ang[None, :, x]
             for x in range(3))                            # (P, nv, N)
     J = J * jnp.asarray(d_anc, jnp.float32)[:, :, None]
-    # Materialize J once: fused into its several consumers (v_n0, the
-    # solve RHS, the sweep's J.w reduce) XLA recomputes the whole
-    # build per use.
-    J = jax.lax.optimization_barrier(J)
-    # The M^-1 J^T solve and the Delassus operator are the pass's
-    # bandwidth (P*nv*N and P*P*N tensors streamed repeatedly); under
-    # the engine's standard bf16 policy they run in bf16 — a ~0.4%
-    # impulse perturbation the projected sweep and the Baumgarte bias
-    # absorb (measured: f32 everywhere cost 45% of ShadowHand step
-    # throughput at P=35). v_n0, lam and the final dv stay f32.
-    J_s = J.astype(jnp.bfloat16) if _phys_bf16() else J
+    # The Jacobian, the M^-1 J^T solve and the Delassus application are
+    # the pass's bandwidth (P*nv*N tensors streamed repeatedly); under
+    # the engine's standard bf16 policy the STORED Jacobian is bf16 and
+    # every consumer (v_n0, solve RHS, sweep reduces) reads the bf16
+    # copy — a ~0.4% impulse perturbation the projected sweep and the
+    # Baumgarte bias absorb (measured: f32 everywhere cost 45% of
+    # ShadowHand step throughput at P=35; keeping a separate f32 J just
+    # for v_n0 cost an extra (P, nv, N) f32 read per substep). lam, the
+    # sweep accumulator w and the final dv stay f32.
+    # Materialize once: fused into its several consumers XLA recomputes
+    # the whole build per use.
+    J_s = jax.lax.optimization_barrier(
+        J.astype(jnp.bfloat16) if _phys_bf16() else J)
     X = jax.lax.optimization_barrier(
         mass_factor_solve(model, factor, J_s))            # (P, nv, N)
     # The Delassus operator J M^-1 J^T is NEVER materialized: a (P, P,
@@ -601,12 +603,13 @@ def contact_pairs_impulse_prepare(model: ArticulatedModel, kin, factor,
     # is two skinny (P, nv, N) contractions; only the diagonal is
     # precomputed.
     diag = jnp.sum((J_s * X).astype(jnp.float32), 1) + 1e-9   # (P, N)
+    del J
     share = ((np.asarray(links_a)[:, None] == np.asarray(links_a)[None])
              | (np.asarray(links_a)[:, None] == np.asarray(links_b)[None])
              | (np.asarray(links_b)[:, None] == np.asarray(links_a)[None])
              | (np.asarray(links_b)[:, None] == np.asarray(links_b)[None])
              ).astype(np.float32)                         # (P, P) static
-    return dict(J=J, J_s=J_s, X=X, diag=diag, share=share)
+    return dict(J_s=J_s, X=X, diag=diag, share=share)
 
 
 def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
@@ -615,11 +618,10 @@ def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
     targets from the CURRENT depth, projected mass-splitting Jacobi
     sweeps against the prepared Jacobian/solve, applied to the CURRENT
     (predicted post-substep) velocity."""
-    J, J_s, X, diag = (payload["J"], payload["J_s"], payload["X"],
-                       payload["diag"])
-    P, _nv, n = J.shape
+    J_s, X, diag = payload["J_s"], payload["X"], payload["diag"]
+    P, _nv, n = J_s.shape
     vT = jnp.asarray(v).T                                 # (nv, N)
-    v_n0 = jnp.sum(J * vT[None], 1)                       # (P, N)
+    v_n0 = jnp.sum(J_s * vT[None], 1)                     # (P, N) f32
 
     over = depth - jnp.broadcast_to(
         jnp.asarray(slop, jnp.float32).reshape(-1, 1), depth.shape) \
@@ -655,18 +657,25 @@ def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
     bind = (rhs > 0.0).astype(jnp.float32)                # (P, N)
     deg = _fold(payload["share"], bind)                   # (P, N)
     omega = bind / jnp.maximum(deg, 1.0)
+    # Each iteration updates lam from the residual at the CURRENT w =
+    # X lam, then refreshes w — the same Jacobi sequence as the
+    # textbook "w first, then update" ordering, but the final w IS the
+    # velocity correction, saving the separate dv = X lam read, and the
+    # first residual is rhs exactly (lam = 0), saving the first J_s.w
+    # reduce: 7 (P, nv, N)-tensor sweeps per call instead of 9.
     lam = jnp.zeros((P, n))
+    w = None                                              # X lam = 0
     for _ in range(iters):
+        resid = rhs if w is None \
+            else rhs - jnp.sum(J_s * w[None], 1)          # (P, N)
+        lam = jnp.maximum(lam + omega * resid / diag, 0.0)
         # The barrier stops XLA fusing this P-reduce into the m-reduce
-        # below, which recomputes w per pair row — P x the bytes
+        # above, which recomputes w per pair row — P x the bytes
         # (measured 1.67 ms/sweep, 42 GB/s effective, 32% of the whole
         # ShadowHand step).
         w = jax.lax.optimization_barrier(
-            jnp.sum(X * lam[:, None, :], 0))              # (nv, N)
-        resid = rhs - jnp.sum(J_s * w[None], 1)           # (P, N)
-        lam = jnp.maximum(lam + omega * resid / diag, 0.0)
-    dv = jnp.sum(X * lam[:, None, :], 0)                  # (nv, N)
-    return (vT + dv).T
+            jnp.sum(X * lam[:, None, :], 0))              # (nv, N) f32
+    return (vT + w).T
 
 
 def sphere_sphere_impulse(model: ArticulatedModel, kin, factor, v,
