@@ -596,6 +596,31 @@ def contact_pairs_impulse_prepare(model: ArticulatedModel, kin, factor,
         J.astype(jnp.bfloat16) if _phys_bf16() else J)
     X = jax.lax.optimization_barrier(
         mass_factor_solve(model, factor, J_s))            # (P, nv, N)
+    # SUPPORT COMPACTION of the stored Jacobian: J[c] is nonzero only on
+    # the SYMMETRIC DIFFERENCE of the two links' ancestor-dof sets
+    # (d_anc = anc[a]-anc[b]; shared ancestors — e.g. the wrist under
+    # two finger chains — cancel exactly). For ShadowHand's 35 pairs
+    # that is at most 13 of 30 dofs, so the J.w sweep reduces and v_n0
+    # stream a (P, K, N) tensor instead of (P, nv, N) — identical sums
+    # (the dropped entries are exactly zero) at 2.3x less J bandwidth;
+    # the gathered w rows (K per pair, static indices, ~2 MB total) stay
+    # VMEM-resident. X = M^-1 J^T is dense (the factor couples the whole
+    # tree) and cannot compact. Skipped when the support is near-full
+    # (the take would only add work).
+    sup_mask = d_anc != 0                                 # (P, nv) static
+    K = int(sup_mask.sum(1).max()) if P else 0
+    if K < 0.75 * J_s.shape[1]:
+        sup_idx = np.zeros((P, K), np.int32)
+        pad = np.zeros((P, K, 1), np.float32)
+        for c in range(P):
+            nz = np.nonzero(sup_mask[c])[0]
+            sup_idx[c, :len(nz)] = nz
+            pad[c, :len(nz), 0] = 1.0
+        J_c = jnp.take_along_axis(
+            J_s, jnp.asarray(sup_idx)[:, :, None], axis=1)
+        J_c = J_c * jnp.asarray(pad, J_c.dtype)           # (P, K, N)
+    else:
+        sup_idx, J_c = None, J_s
     # The Delassus operator J M^-1 J^T is NEVER materialized: a (P, P,
     # N) tensor rebuilt and re-read per sweep scaled the pass O(P^2 N)
     # and cost 45% of the whole ShadowHand step at P=35 (measured
@@ -603,13 +628,13 @@ def contact_pairs_impulse_prepare(model: ArticulatedModel, kin, factor,
     # is two skinny (P, nv, N) contractions; only the diagonal is
     # precomputed.
     diag = jnp.sum((J_s * X).astype(jnp.float32), 1) + 1e-9   # (P, N)
-    del J
+    del J, J_s
     share = ((np.asarray(links_a)[:, None] == np.asarray(links_a)[None])
              | (np.asarray(links_a)[:, None] == np.asarray(links_b)[None])
              | (np.asarray(links_b)[:, None] == np.asarray(links_a)[None])
              | (np.asarray(links_b)[:, None] == np.asarray(links_b)[None])
              ).astype(np.float32)                         # (P, P) static
-    return dict(J_s=J_s, X=X, diag=diag, share=share)
+    return dict(J_c=J_c, sup=sup_idx, X=X, diag=diag, share=share)
 
 
 def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
@@ -618,10 +643,20 @@ def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
     targets from the CURRENT depth, projected mass-splitting Jacobi
     sweeps against the prepared Jacobian/solve, applied to the CURRENT
     (predicted post-substep) velocity."""
-    J_s, X, diag = payload["J_s"], payload["X"], payload["diag"]
-    P, _nv, n = J_s.shape
+    J_c, sup, X, diag = (payload["J_c"], payload["sup"], payload["X"],
+                         payload["diag"])
+    P, _k, n = J_c.shape
+    # J.x contractions read the support-compacted Jacobian (see
+    # prepare); the gathered x rows use static indices and stay in
+    # VMEM. With sup=None (near-full support) this is the plain
+    # full-row reduce (take(None-idx) degenerates to x itself).
+    if sup is not None:
+        sup_j = jnp.asarray(sup)
+        J_dot = lambda x: jnp.sum(J_c * jnp.take(x, sup_j, axis=0), 1)
+    else:
+        J_dot = lambda x: jnp.sum(J_c * x[None], 1)
     vT = jnp.asarray(v).T                                 # (nv, N)
-    v_n0 = jnp.sum(J_s * vT[None], 1)                     # (P, N) f32
+    v_n0 = J_dot(vT)                                      # (P, N) f32
 
     over = depth - jnp.broadcast_to(
         jnp.asarray(slop, jnp.float32).reshape(-1, 1), depth.shape) \
@@ -666,8 +701,7 @@ def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
     lam = jnp.zeros((P, n))
     w = None                                              # X lam = 0
     for _ in range(iters):
-        resid = rhs if w is None \
-            else rhs - jnp.sum(J_s * w[None], 1)          # (P, N)
+        resid = rhs if w is None else rhs - J_dot(w)      # (P, N)
         lam = jnp.maximum(lam + omega * resid / diag, 0.0)
         # The barrier stops XLA fusing this P-reduce into the m-reduce
         # above, which recomputes w per pair row — P x the bytes
