@@ -222,8 +222,8 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
                               return_geometry=False):
     """Vectorized form of ``sphere_plane_pair_forces`` over P pairs at
     once — ONE set of tensor ops instead of P separate calls (ShadowHand
-    has 38 pairs per substep; separate calls blow the per-step HLO to
-    ~100 s CPU compiles and pay P x the kernel launches).
+    runs tens of pairs per substep; separate calls blow the per-step HLO
+    to ~100 s CPU compiles and pay P x the kernel launches).
 
     sphere_links/plane_links: static (P,) int arrays.
     sphere_offsets/plane_points: (P, 3) static or (P, 3, N) env-last (in

@@ -19,8 +19,9 @@ Prints the headline JSON line
 5e6, the BASELINE.json north-star; the reference publishes no numbers of
 its own — Isaac Gym reports ~100k-700k steps/s per task on an A100,
 BASELINE.md), then a second JSON line with the ARTICULATED hard path:
-ShadowHand (26 bodies, 30 dofs, 38 contact pairs, tendons) through the
-same collection path at 16384 envs.
+ShadowHand (26 bodies, 30 dofs, tendons, 35 contact pairs — corner-palm
++ box-sphere + finger-finger — with the TGS-style impulse backstop)
+through the same collection path at 16384 envs.
 
 ``python bench.py --full`` additionally reports the other BASELINE.json
 metrics (MDNN training samples/sec; seconds per Pendulum adaptive-DR
