@@ -196,9 +196,10 @@ class MDNN:
             self.output_highs = np.asarray(output_highs, np.float32)
         self._key = jax.random.PRNGKey(seed)
         self._key, init_key = jax.random.split(self._key)
-        self.params = init_mdnn_params(
+        from ..parallel.mesh import replicate
+        self.params = replicate(init_mdnn_params(
             init_key, self.input_dim, self.output_dim, self.n_gaussians,
-            self.hidden_layers, self.full_covariance)
+            self.hidden_layers, self.full_covariance))
         self._optimizer = optax.adam(self.lr)
         self._train_fn = None  # built lazily (jit cache keyed on shapes)
 
@@ -209,9 +210,10 @@ class MDNN:
         compiling a new trainer per call — repeated fresh compiles
         eventually crashed the remote TPU runtime outright."""
         self._key, init_key = jax.random.split(self._key)
-        self.params = init_mdnn_params(
+        from ..parallel.mesh import replicate
+        self.params = replicate(init_mdnn_params(
             init_key, self.input_dim, self.output_dim, self.n_gaussians,
-            self.hidden_layers, self.full_covariance)
+            self.hidden_layers, self.full_covariance))
 
     # ------------------------------------------------------------------ #
     def _forward(self, params, x, key):
@@ -298,6 +300,17 @@ class MDNN:
         x_test, y_test = ((x_data[n_train:], y_data[n_train:])
                           if n_train < n_tot
                           else (x_data[:n_train], y_data[:n_train]))
+        # Data-parallel over the global mesh (parallel/mesh.py): shard the
+        # training rows along the env/data axis; GSPMD turns the loss
+        # reductions into psums and the minibatch gathers into
+        # collectives. Params stay replicated (placed in __init__).
+        from ..parallel.mesh import get_global_mesh, shard_batch
+        mesh = get_global_mesh()
+        if mesh is not None and n_train % mesh.size == 0:
+            x_train = shard_batch(x_data[:n_train], mesh)
+            y_train = shard_batch(y_data[:n_train], mesh)
+        else:
+            x_train, y_train = x_data[:n_train], y_data[:n_train]
         if self._train_fn is None:
             self._train_fn = self._build_train_fn()
         self._key, run_key = jax.random.split(self._key)
@@ -306,8 +319,7 @@ class MDNN:
                                        n_updates=int(n_updates),
                                        batch_size=int(batch_size))
         self.params, train_losses, test_losses = train_scan(
-            self.params, x_data[:n_train], y_data[:n_train],
-            x_test, y_test, run_key)
+            self.params, x_train, y_train, x_test, y_test, run_key)
         train_losses = np.asarray(train_losses)
         test_losses = np.asarray(test_losses)
         # Checkpoints mirror the trainer's segment boundaries so the

@@ -17,7 +17,11 @@ parallelism over the env axis of a ``jax.sharding.Mesh``:
 from .mesh import (
     make_mesh, env_sharding, replicated_sharding, shard_env_state,
     shard_batch, initialize_distributed,
+    set_global_mesh, get_global_mesh, auto_mesh, constrain_env_sharded,
+    replicate,
 )
 
 __all__ = ["make_mesh", "env_sharding", "replicated_sharding",
-           "shard_env_state", "shard_batch", "initialize_distributed"]
+           "shard_env_state", "shard_batch", "initialize_distributed",
+           "set_global_mesh", "get_global_mesh", "auto_mesh",
+           "constrain_env_sharded", "replicate"]

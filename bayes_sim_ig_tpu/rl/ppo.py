@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..parallel.mesh import replicate
 from ..sim.task import env_step, env_full_reset
 from . import networks
 
@@ -111,9 +112,11 @@ class PPO:
             optax.scale_by_adam(),
             optax.scale(-1.0),
         )
-        self.train_state = PPOTrainState(
+        # Replicated over the global mesh when one is installed — the env
+        # axis must never split the policy (parallel/mesh.py).
+        self.train_state = replicate(PPOTrainState(
             params=params, opt_state=self._opt.init(params),
-            lr=jnp.asarray(self.init_lr))
+            lr=jnp.asarray(self.init_lr)))
         self.actor_critic = _ActorCriticHandle(self)
         self.current_learning_iteration = 0
         self._train_iter_fn = None
@@ -137,9 +140,9 @@ class PPO:
         self._key = jax.random.PRNGKey(seed + 12345)
         self._key, init_key = jax.random.split(self._key)
         fresh = networks.init_actor_critic(init_key, *self._net_spec)
-        self.train_state = PPOTrainState(
+        self.train_state = replicate(PPOTrainState(
             params=fresh, opt_state=self._opt.init(fresh),
-            lr=jnp.asarray(self.init_lr))
+            lr=jnp.asarray(self.init_lr)))
         self.current_learning_iteration = 0
         if logdir is not None:
             self.logdir = logdir
@@ -341,9 +344,9 @@ class PPO:
         with open(path, "rb") as f:
             payload = pickle.load(f)
         params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
-        self.train_state = PPOTrainState(
+        self.train_state = replicate(PPOTrainState(
             params=params, opt_state=self._opt.init(params),
-            lr=jnp.asarray(payload.get("lr", self.init_lr)))
+            lr=jnp.asarray(payload.get("lr", self.init_lr))))
         self.current_learning_iteration = payload.get("iteration", 0)
         return self
 

@@ -41,6 +41,11 @@ class Pendulum(Task):
     name = "Pendulum"
     obs_dim = 3
     act_dim = 1
+    # Classic gym semantics: reward of the state the action was taken in
+    # (PendulumB steps AFTER computing the cost of the current th/thdot,
+    # openai_env_wrappers.py:173-177) — unlike the IG tasks' post-step
+    # reward (task.py module docstring).
+    reward_post_step = False
     max_speed = 8.0
     max_torque = 2.0
     dt = 0.05
