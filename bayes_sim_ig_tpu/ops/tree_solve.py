@@ -92,6 +92,40 @@ def ltdl_substitute(chains: Sequence[Sequence[int]], factor,
     return x
 
 
+def ltdl_upsolve(chains: Sequence[Sequence[int]], H,
+                 x: Dict[int, jnp.ndarray], dofs: Sequence[int]):
+    """Applies L^-T only (the UP-fill substitution pass of
+    ``ltdl_substitute``) to rows supported on the ancestor-CLOSED static
+    dof set ``dofs`` — x: {dof: (..., N)}. Because fill spreads only
+    from a dof to its ancestors, restricting the pass to the closure is
+    exact: every update's source and target lie inside ``dofs``. This is
+    the half-solve behind the contact pass's compact Delassus factors
+    (contact.py): Y = L^-T J^T keeps J's per-row support closure, unlike
+    the full M^-1 J^T whose second (down) pass densifies every row over
+    its whole subtree. Mutates and returns ``x``."""
+    for k in sorted(dofs, reverse=True):
+        for i in chains[k]:
+            x[i] = x[i] - H[(k, i)] * x[k]
+    return x
+
+
+def ltdl_downsolve(chains: Sequence[Sequence[int]], H,
+                   rows: Sequence[jnp.ndarray]):
+    """Applies L^-1 only (the DOWN-fill pass of ``ltdl_substitute``) to
+    a full nv-row vector: x[k] = rows[k] - sum_i H[(k,i)] x[i] in
+    ascending dof order. With z = D^-1 L^-T J^T lam accumulated by the
+    contact sweeps, ``L^-1 z`` is the final generalized-velocity
+    correction — ONE cheap (N,)-row pass per apply call instead of a
+    dense (R, nv, N) down-solve per prepared row."""
+    x = list(rows)
+    for k in range(len(chains)):
+        acc = x[k]
+        for i in chains[k]:
+            acc = acc - H[(k, i)] * x[i]
+        x[k] = acc
+    return x
+
+
 def ltdl_solve(chains: Sequence[Sequence[int]],
                M: Dict[Tuple[int, int], jnp.ndarray],
                b_rows: Sequence[jnp.ndarray]):

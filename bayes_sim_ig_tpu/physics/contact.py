@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from .model import ArticulatedModel, DynParams
 from .dynamics import _phys_bf16, mass_factor_solve
+from ..ops.tree_solve import ltdl_upsolve, ltdl_downsolve
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -198,7 +199,15 @@ def sphere_plane_pair_forces(model: ArticulatedModel, kin,
     v_t_norm = jnp.sqrt(jnp.sum(v_t * v_t, 0)) + 1e-8
     inertia = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1)  # (nb,3,N)
     i_mean = jnp.mean(inertia[sphere_link], 0) + 1e-8
-    m_eff_t = 1.0 / (1.0 / m_s + r_scaled ** 2 / i_mean)
+    # The rotational lever of the slip-stopping cap is the TRUE moment
+    # arm |contact_pt - link origin| (like ground_contact_forces), not
+    # the sphere radius: for a sphere mounted far from its link origin
+    # (a cube corner point: 2 mm radius, 5.6 cm arm) the radius-based
+    # cap overshot the rotation-stopping impulse ~30x, REVERSING the
+    # angular velocity each step — a resting cube spun itself up to the
+    # 64 rad/s clamp and walked off the palm (round-4 finding).
+    arm_sq = jnp.sum((contact_pt - p_s) ** 2, 0)
+    m_eff_t = 1.0 / (1.0 / m_s + arm_sq / i_mean)
     mu_n = jnp.broadcast_to(jnp.asarray(mu, jnp.float32), (n,))
     cap = jnp.minimum(mu_n * f_n_mag, m_eff_t * v_t_norm / dt)
     f_t = -v_t / v_t_norm[None] * cap[None]
@@ -219,7 +228,7 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
                               plane_points, plane_normals, mu,
                               dt=1.0 / 60.0, tau=0.02, zeta=1.0,
                               plane_halfsizes=None,
-                              return_geometry=False):
+                              return_geometry=False, forces=True):
     """Vectorized form of ``sphere_plane_pair_forces`` over P pairs at
     once — ONE set of tensor ops instead of P separate calls (ShadowHand
     runs tens of pairs per substep; separate calls blow the per-step HLO
@@ -278,6 +287,25 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
     dist = jnp.sum((center - pp_w) * n_w, 1)                  # (P, N)
     depth = radii_j - dist
     contact_pt = center - n_w * radii_j[:, None, :]
+    patch_ok = jnp.ones((P, n), bool)
+    if plane_halfsizes is not None:
+        hs = jnp.broadcast_to(
+            jnp.asarray(plane_halfsizes, jnp.float32).reshape(P, -1),
+            (P, n))
+        # Tangential-extent gate (see sphere_plane_pair_forces): project
+        # out the normal component so the two in-plane axes are gated
+        # whatever the face normal's plane-frame direction.
+        local = _mvT(R_p, center - pp_w)                  # (P, 3, N)
+        l_t = jnp.abs(local - jnp.sum(local * nrm, 1,
+                                      keepdims=True) * nrm)
+        patch_ok = jnp.max(l_t, 1) < hs
+    if not forces:
+        # Geometry-only mode for the velocity-level contact stack (the
+        # impulse solver owns forces AND friction; see
+        # contact_pairs_impulse_prepare): skip the penalty force math.
+        assert return_geometry and not single
+        depth_eff = jnp.where(patch_ok, depth, -1.0)
+        return None, (n_w, depth_eff, contact_pt)
 
     def point_vel(R, p, v6, pt):
         w = _mv(R, v6[:, :3])
@@ -292,25 +320,16 @@ def sphere_plane_pairs_forces(model: ArticulatedModel, kin,
     m_p = _fold(g_p, mass)
     m_eff = 1.0 / (1.0 / m_s + 1.0 / jnp.maximum(m_p, 1e-6))
     f_n_mag = m_eff * (depth / tau ** 2 + 2.0 * zeta * (-v_n) / tau)
-    patch_ok = jnp.ones((P, n), bool)
-    if plane_halfsizes is not None:
-        hs = jnp.broadcast_to(
-            jnp.asarray(plane_halfsizes, jnp.float32).reshape(P, -1),
-            (P, n))
-        # Tangential-extent gate (see sphere_plane_pair_forces): project
-        # out the normal component so the two in-plane axes are gated
-        # whatever the face normal's plane-frame direction.
-        local = _mvT(R_p, center - pp_w)                  # (P, 3, N)
-        l_t = jnp.abs(local - jnp.sum(local * nrm, 1,
-                                      keepdims=True) * nrm)
-        patch_ok = jnp.max(l_t, 1) < hs
     active = (depth > 0) & patch_ok
     f_n_mag = jnp.where(active, jnp.maximum(f_n_mag, 0.0), 0.0)
     v_t = v_rel - v_n[:, None, :] * n_w
     v_t_norm = jnp.sqrt(jnp.sum(v_t * v_t, 1)) + 1e-8
     inertia = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1)  # (nb,3,N)
     i_mean = _fold(g_s, jnp.mean(inertia, 1)) + 1e-8
-    m_eff_t = 1.0 / (1.0 / m_s + radii_j ** 2 / i_mean)
+    # True moment arm, not the sphere radius (see sphere_plane_pair_
+    # forces: a far-mounted contact point otherwise over-reverses spin).
+    arm_sq = jnp.sum((contact_pt - p_s) ** 2, 1)
+    m_eff_t = 1.0 / (1.0 / m_s + arm_sq / i_mean)
     cap = jnp.minimum(mu_j * f_n_mag, m_eff_t * v_t_norm / dt)
     f_t = -v_t / v_t_norm[:, None, :] * cap[:, None, :]
     force = n_w * f_n_mag[:, None, :] + f_t                    # on spheres
@@ -329,7 +348,7 @@ def sphere_box_pairs_forces(model: ArticulatedModel, kin,
                             params: DynParams, sphere_links,
                             sphere_offsets, radii, box_link, box_half,
                             mu, dt=1.0 / 60.0, tau=0.02, zeta=1.0,
-                            return_geometry=False):
+                            return_geometry=False, forces=True):
     """Penalty contacts between P spheres on an articulated body and ONE
     box-shaped link, with EXACT closest-point geometry: the contact
     point is the sphere center clamped to the box (faces, edges and
@@ -406,6 +425,10 @@ def sphere_box_pairs_forces(model: ArticulatedModel, kin,
     n_w = _mv(jnp.broadcast_to(R_b[None], (P, 3, 3, n)), n_loc)
     contact_pt = p_b[None] + _mv(
         jnp.broadcast_to(R_b[None], (P, 3, 3, n)), pt_loc)
+    if not forces:
+        # Geometry-only mode (see sphere_plane_pairs_forces).
+        assert return_geometry and not single
+        return None, (n_w, depth, contact_pt)
 
     def point_vel(R, p, v6, pt):
         w = _mv(R, v6[:, :3])
@@ -433,7 +456,10 @@ def sphere_box_pairs_forces(model: ArticulatedModel, kin,
     v_t_norm = jnp.sqrt(jnp.sum(v_t * v_t, 1)) + 1e-8
     inertia = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1)
     i_mean = _fold(g_s, jnp.mean(inertia, 1)) + 1e-8
-    m_eff_t = 1.0 / (1.0 / m_s + r_j ** 2 / i_mean)
+    # True moment arm, not the sphere radius (see sphere_plane_pair_
+    # forces).
+    arm_sq = jnp.sum((contact_pt - p_s) ** 2, 1)
+    m_eff_t = 1.0 / (1.0 / m_s + arm_sq / i_mean)
     cap = jnp.minimum(mu_j * f_n_mag, m_eff_t * v_t_norm / dt)
     f_t = -v_t / v_t_norm[:, None, :] * cap[:, None, :]
     force = n_w * f_n_mag[:, None, :] + f_t               # on spheres
@@ -557,29 +583,173 @@ def contact_pairs_impulse(model: ArticulatedModel, kin, factor, v,
                                        slop=slop)
 
 
+def _closure_groups(chains, d_anc):
+    """Static row grouping for the compact half-solve Delassus factors:
+    each constraint row's L^-T fill stays inside the ancestor CLOSURE of
+    its Jacobian support (ltdl_upsolve), so rows sharing a closure can be
+    up-solved / swept together as one (rows, K, N) tensor that skips the
+    ~2/3 of the nv axis the row can never touch (ShadowHand: closures
+    are 8-12 of 30 dofs). Closures that are subsets of an already-kept
+    closure merge into it when the padding cost is small (<= 2 extra
+    dofs per row) — e.g. a finger's proximal/middle rows ride the distal
+    row's group — keeping the group count (and the XLA op graph) small.
+    Returns [(rows (g,) int32 asc, dofs tuple asc)] covering all rows
+    exactly once."""
+    R = d_anc.shape[0]
+    clos = []
+    for r in range(R):
+        s = set(np.nonzero(d_anc[r])[0].tolist())
+        c = set(s)
+        for d in s:
+            c |= set(chains[d])
+        clos.append(frozenset(c))
+    uniq = {}
+    for r, c in enumerate(clos):
+        uniq.setdefault(c, []).append(r)
+    merged = []                                 # [closure, rows]
+    for c in sorted(uniq, key=len, reverse=True):
+        target = None
+        for m in merged:
+            if c <= m[0] and len(m[0]) - len(c) <= 2:
+                target = m
+                break
+        if target is None:
+            merged.append([c, list(uniq[c])])
+        else:
+            target[1].extend(uniq[c])
+    return [(np.asarray(sorted(rows), np.int32), tuple(sorted(c)))
+            for c, rows in merged]
+
+
 def contact_pairs_impulse_prepare(model: ArticulatedModel, kin, factor,
-                                  links_a, links_b, n_w, contact_pt):
+                                  links_a, links_b, n_w, contact_pt,
+                                  mu=None, fric_pairs=None):
     """Expensive, geometry-slow half of ``contact_pairs_impulse``:
     contact Jacobians from the FK's world-Plücker dof subspaces and the
     M^-1 J^T columns against the step's mass factorization. Reusable
-    across a step's substeps (see contact_pairs_impulse docstring)."""
+    across a step's substeps (see contact_pairs_impulse docstring).
+
+    With ``mu`` the constraint set gains two TANGENTIAL rows per
+    friction pair — an orthonormal tangent basis built from each contact
+    normal — and the apply sweeps box-project the tangential impulses to
+    |lam_t| <= mu lam_n: Coulomb friction solved at the velocity level
+    in the same projected mass-splitting Jacobi, the PhysX PGS
+    construction. This exists because explicit penalty friction on
+    multi-point box contacts is structurally unstable: the per-point
+    slip-stopping impulse cannot see the other points, so 4 cube
+    corners each sized to stop the cube's spin reversed it 3x per
+    substep — the resting cube chattered at 5-15 rad/s and walked off
+    the palm (round-4 measurement); the coupled solve resolves exactly
+    this. ``fric_pairs`` (static index list, default all pairs) selects
+    WHICH pairs get friction rows — every row is pure streamed
+    bandwidth in the apply sweeps, so callers keep the set minimal
+    (ShadowHand: the 8 cube-palm support pairs only). ``mu`` (scalar,
+    (F,) or (F, N)) aligns with ``fric_pairs``. Row layout:
+    [P normals, F t1, F t2]."""
     P = len(links_a)
+    fidx = None
+    if mu is not None:
+        fidx = (np.arange(P, dtype=np.int32) if fric_pairs is None
+                else np.asarray(fric_pairs, np.int32))
+        n_f = n_w[jnp.asarray(fidx)]                      # (F, 3, N)
+        # Branchless orthonormal tangent basis from each normal: the
+        # helper axis is x-hat where the normal is mostly not-x, else
+        # y-hat (never parallel).
+        one = jnp.ones_like(n_f[:, :1])
+        zero = jnp.zeros_like(one)
+        ex = jnp.concatenate([one, zero, zero], 1)
+        ey = jnp.concatenate([zero, one, zero], 1)
+        e = jnp.where(jnp.abs(n_f[:, 0:1]) < 0.9, ex, ey)
+        t1 = _cross(n_f, e)
+        t1 = t1 / (jnp.sqrt(jnp.sum(t1 * t1, 1, keepdims=True)) + 1e-9)
+        t2 = _cross(n_f, t1)
+        dirs = jnp.concatenate([n_w, t1, t2], 0)          # (P+2F, 3, N)
+        cpt_f = contact_pt[jnp.asarray(fidx)]
+        cpt = jnp.concatenate([contact_pt, cpt_f, cpt_f], 0)
+        la_f = [links_a[i] for i in fidx]
+        lb_f = [links_b[i] for i in fidx]
+        row_links_a = list(links_a) + la_f * 2
+        row_links_b = list(links_b) + lb_f * 2
+    else:
+        dirs, cpt = n_w, contact_pt
+        row_links_a, row_links_b = links_a, links_b
     anc = np.asarray(model.anc_dof)                       # (nb, nv)
-    d_anc = (anc[np.asarray(links_a)]
-             - anc[np.asarray(links_b)])                  # (P, nv) static
+    d_anc = (anc[np.asarray(row_links_a)]
+             - anc[np.asarray(row_links_b)])              # (R, nv) static
     S = kin.S_o                                           # (nv, 6, N)
     S_ang, S_lin = S[:, :3], S[:, 3:]
-    r_pt = contact_pt - kin.o[None]                       # (P, 3, N)
+    r_pt = cpt - kin.o[None]                              # (R, 3, N)
     # n . (S_lin + S_ang x (pt-o)) = n . S_lin + S_ang . ((pt-o) x n).
     # All contractions below are explicit broadcast-multiply-sums over
     # the SHORT static axes with the env lanes trailing and untouched:
     # einsum/dot_general with a trailing batch dim relayouts the (P, nv,
     # N) operands to batch-leading, which alone cost more than the whole
     # physics step (measured 10x regression).
-    rxn = _cross(r_pt, n_w)
-    J = sum(n_w[:, None, x] * S_lin[None, :, x]
+    rxn = _cross(r_pt, dirs)
+    R = d_anc.shape[0]
+    n_env = n_w.shape[-1]
+    share = ((np.asarray(links_a)[:, None] == np.asarray(links_a)[None])
+             | (np.asarray(links_a)[:, None] == np.asarray(links_b)[None])
+             | (np.asarray(links_b)[:, None] == np.asarray(links_a)[None])
+             | (np.asarray(links_b)[:, None] == np.asarray(links_b)[None])
+             ).astype(np.float32)                         # (P, P) static
+    mu_j = None
+    if mu is not None:
+        F = len(fidx)
+        mu_j = jnp.broadcast_to(
+            jnp.asarray(mu, jnp.float32).reshape(-1, 1), (F, n_env)) \
+            if jnp.asarray(mu).ndim <= 1 else jnp.asarray(mu, jnp.float32)
+    # BSIM_IMPULSE_COMPACT=0 forces the dense-X route (equivalence
+    # tests / perf A/B; the two are the same math to sweep tolerance).
+    if (isinstance(factor, tuple) and factor[0] == "tree"
+            and os.environ.get("BSIM_IMPULSE_COMPACT", "1") != "0"):
+        # COMPACT HALF-SOLVE DELASSUS FACTORS (the tree-factor fast
+        # path). The dense route materializes X = M^-1 J^T — dense over
+        # the whole subtree because the L^-1 down-pass fills every
+        # descendant — and every sweep streams the full (R, nv, N)
+        # tensor. Split M^-1 = L^-1 D^-1 L^-T instead and stop after the
+        # UP pass: Y = L^-T J^T keeps each row's support closure (8-12
+        # of 30 dofs for ShadowHand), the Delassus application becomes
+        # u = sum_r lam_r Y_r; z = D^-1 u; (J M^-1 J^T lam)_r = Y_r . z
+        # — all on closure-compact group tensors — and the one dense
+        # down-solve dv = L^-1 z runs ONCE per apply call on a single
+        # (nv, N) vector (ltdl_downsolve) instead of per prepared row.
+        # Measured step bandwidth is the whole game here (round-3/4
+        # profiles: no hot op, everything streams), so the ~3x fewer
+        # bytes in both the prepare solve and the sweeps is the win.
+        chains = model.dof_anc_chains
+        H, D = factor[1]
+        dt16 = jnp.bfloat16 if _phys_bf16() else jnp.float32
+        Hc = H if dt16 == jnp.float32 else \
+            {k: hv.astype(dt16) for k, hv in H.items()}
+        invD = 1.0 / jnp.stack(D, 0)                      # (nv, N) f32
+        groups = []
+        diag = jnp.zeros((R, n_env))
+        for rows, dofs in _closure_groups(chains, d_anc):
+            rj = jnp.asarray(rows)
+            dj = jnp.asarray(dofs)
+            dirs_g, rxn_g = dirs[rj], rxn[rj]
+            S_lin_g, S_ang_g = S_lin[dj], S_ang[dj]
+            Jg = sum(dirs_g[:, None, x] * S_lin_g[None, :, x]
+                     + rxn_g[:, None, x] * S_ang_g[None, :, x]
+                     for x in range(3))                   # (g, K, N)
+            Jg = Jg * jnp.asarray(
+                d_anc[np.ix_(rows, dofs)], jnp.float32)[:, :, None]
+            Jg = jax.lax.optimization_barrier(Jg.astype(dt16))
+            xr = {d: Jg[:, j] for j, d in enumerate(dofs)}
+            xr = ltdl_upsolve(chains, Hc, xr, dofs)
+            Yg = jax.lax.optimization_barrier(
+                jnp.stack([xr[d] for d in dofs], 1))      # (g, K, N)
+            dg = sum(Yg[:, j].astype(jnp.float32) ** 2 * invD[dofs[j]]
+                     for j in range(len(dofs)))
+            diag = diag.at[rj].set(dg + 1e-9)
+            groups.append((rows, dofs, Yg, Jg))
+        return dict(mode="Y", groups=groups, invD=invD, diag=diag,
+                    share=share, mu=mu_j, P=P, fidx=fidx, R=R,
+                    chains=chains, H=H, nv=model.nv)
+    J = sum(dirs[:, None, x] * S_lin[None, :, x]
             + rxn[:, None, x] * S_ang[None, :, x]
-            for x in range(3))                            # (P, nv, N)
+            for x in range(3))                            # (R, nv, N)
     J = J * jnp.asarray(d_anc, jnp.float32)[:, :, None]
     # The Jacobian, the M^-1 J^T solve and the Delassus application are
     # the pass's bandwidth (P*nv*N tensors streamed repeatedly); under
@@ -607,18 +777,19 @@ def contact_pairs_impulse_prepare(model: ArticulatedModel, kin, factor,
     # VMEM-resident. X = M^-1 J^T is dense (the factor couples the whole
     # tree) and cannot compact. Skipped when the support is near-full
     # (the take would only add work).
-    sup_mask = d_anc != 0                                 # (P, nv) static
-    K = int(sup_mask.sum(1).max()) if P else 0
+    R = d_anc.shape[0]
+    sup_mask = d_anc != 0                                 # (R, nv) static
+    K = int(sup_mask.sum(1).max()) if R else 0
     if K < 0.75 * J_s.shape[1]:
-        sup_idx = np.zeros((P, K), np.int32)
-        pad = np.zeros((P, K, 1), np.float32)
-        for c in range(P):
+        sup_idx = np.zeros((R, K), np.int32)
+        pad = np.zeros((R, K, 1), np.float32)
+        for c in range(R):
             nz = np.nonzero(sup_mask[c])[0]
             sup_idx[c, :len(nz)] = nz
             pad[c, :len(nz), 0] = 1.0
         J_c = jnp.take_along_axis(
             J_s, jnp.asarray(sup_idx)[:, :, None], axis=1)
-        J_c = J_c * jnp.asarray(pad, J_c.dtype)           # (P, K, N)
+        J_c = J_c * jnp.asarray(pad, J_c.dtype)           # (R, K, N)
     else:
         sup_idx, J_c = None, J_s
     # The Delassus operator J M^-1 J^T is NEVER materialized: a (P, P,
@@ -627,36 +798,66 @@ def contact_pairs_impulse_prepare(model: ArticulatedModel, kin, factor,
     # 2.2M vs 5.4M env-steps/s). Matrix-free application in the sweeps
     # is two skinny (P, nv, N) contractions; only the diagonal is
     # precomputed.
-    diag = jnp.sum((J_s * X).astype(jnp.float32), 1) + 1e-9   # (P, N)
+    diag = jnp.sum((J_s * X).astype(jnp.float32), 1) + 1e-9   # (R, N)
     del J, J_s
-    share = ((np.asarray(links_a)[:, None] == np.asarray(links_a)[None])
-             | (np.asarray(links_a)[:, None] == np.asarray(links_b)[None])
-             | (np.asarray(links_b)[:, None] == np.asarray(links_a)[None])
-             | (np.asarray(links_b)[:, None] == np.asarray(links_b)[None])
-             ).astype(np.float32)                         # (P, P) static
-    return dict(J_c=J_c, sup=sup_idx, X=X, diag=diag, share=share)
+    return dict(mode="X", J_c=J_c, sup=sup_idx, X=X, diag=diag,
+                share=share, mu=mu_j, P=P, fidx=fidx)
 
 
 def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
-                                max_bias=1.0, iters=4, slop=0.0):
+                                max_bias=1.0, iters=4, slop=0.0,
+                                warm=None, return_warm=False):
     """Cheap per-substep half of ``contact_pairs_impulse``: speculative
     targets from the CURRENT depth, projected mass-splitting Jacobi
     sweeps against the prepared Jacobian/solve, applied to the CURRENT
-    (predicted post-substep) velocity."""
-    J_c, sup, X, diag = (payload["J_c"], payload["sup"], payload["X"],
-                         payload["diag"])
-    P, _k, n = J_c.shape
-    # J.x contractions read the support-compacted Jacobian (see
-    # prepare); the gathered x rows use static indices and stay in
-    # VMEM. With sup=None (near-full support) this is the plain
-    # full-row reduce (take(None-idx) degenerates to x itself).
-    if sup is not None:
-        sup_j = jnp.asarray(sup)
-        J_dot = lambda x: jnp.sum(J_c * jnp.take(x, sup_j, axis=0), 1)
-    else:
-        J_dot = lambda x: jnp.sum(J_c * x[None], 1)
+    (predicted post-substep) velocity.
+
+    ``warm`` optionally carries the previous substep's ``(lam, w)``
+    (returned with ``return_warm=True``): within a control step the
+    geometry payload is shared and depth/velocity move O(h), so the
+    previous solution is an excellent initial iterate — the warm-started
+    substep converges in fewer sweeps (the PhysX TGS warm-start
+    semantics), each saved sweep being one full (P, nv, N) X read. The
+    first residual of a warm start costs one extra J.w reduce (w != 0),
+    which is why the cold start keeps its lam = 0 shortcut."""
+    mode = payload.get("mode", "X")
+    diag = payload["diag"]
+    mu = payload.get("mu")
+    fidx = payload.get("fidx")
     vT = jnp.asarray(v).T                                 # (nv, N)
-    v_n0 = J_dot(vT)                                      # (P, N) f32
+    if mode == "Y":
+        groups, invD = payload["groups"], payload["invD"]
+        R, n = diag.shape
+        P = payload["P"]
+
+        def rows_dot(mat_key, x):
+            """(J or Y) @ x assembled over the closure groups: each
+            group reads only its compact (g, K, N) factor and the K
+            gathered x rows (static indices, VMEM-resident)."""
+            out = jnp.zeros((R, n))
+            for rows, dofs, Yg, Jg in groups:
+                G = Jg if mat_key == "J" else Yg
+                xg = x[jnp.asarray(dofs)]                 # (K, N)
+                out = out.at[jnp.asarray(rows)].set(
+                    jnp.sum(G * xg[None], 1).astype(jnp.float32))
+            return out
+
+        v_n0 = rows_dot("J", vT)                          # (R, N) f32
+    else:
+        J_c, sup, X = payload["J_c"], payload["sup"], payload["X"]
+        R, _k, n = J_c.shape
+        P = payload.get("P", R)                      # pairs (R = P + 2F)
+        # J.x contractions read the support-compacted Jacobian (see
+        # prepare); the gathered x rows use static indices and stay in
+        # VMEM. With sup=None (near-full support) this is the plain
+        # full-row reduce (take(None-idx) degenerates to x itself).
+        if sup is not None:
+            sup_j = jnp.asarray(sup)
+            J_dot = lambda x: jnp.sum(J_c * jnp.take(x, sup_j, axis=0),
+                                      1)
+        else:
+            J_dot = lambda x: jnp.sum(J_c * x[None], 1)
+        v_n0 = J_dot(vT)                                  # (R, N) f32
 
     over = depth - jnp.broadcast_to(
         jnp.asarray(slop, jnp.float32).reshape(-1, 1), depth.shape) \
@@ -675,7 +876,10 @@ def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
     v_tgt = jnp.where(over > 0.0,
                       jnp.minimum(beta * over / dt, max_bias),
                       over / dt)
-    rhs = v_tgt - v_n0                                    # (P, N)
+    if mu is not None:
+        # Tangential rows target zero slip velocity, no bias.
+        v_tgt = jnp.concatenate([v_tgt, jnp.zeros((R - P, n))], 0)
+    rhs = v_tgt - v_n0                                    # (R, N)
     # Projected Jacobi with MASS-SPLITTING relaxation (Tonge et al.'s
     # parallel-contact construction): each pair's correction is divided
     # by the number of currently-binding pairs that share a body with
@@ -689,27 +893,75 @@ def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
     # (5.5x) at 16k envs AND blew the compile up by minutes. The
     # degree-scaled sweep keeps every iteration a handful of fused
     # env-last ops (the share mask is static, built in prepare).
-    bind = (rhs > 0.0).astype(jnp.float32)                # (P, N)
+    if warm is None:
+        lam = jnp.zeros((R, n))
+        w = None                                          # X lam = 0
+    else:
+        lam, w = warm
+    # Binding state per PAIR: a normal row binds when it wants impulse
+    # (rhs > 0) or is carrying a warm-started one (lam > 0 — which must
+    # be allowed to DECAY when the target is satisfied, or a carried
+    # impulse would keep pushing forever). Friction rows inherit their
+    # pair's binding state.
+    bind = ((rhs[:P] > 0.0) | (lam[:P] > 0.0)).astype(jnp.float32)
     deg = _fold(payload["share"], bind)                   # (P, N)
     omega = bind / jnp.maximum(deg, 1.0)
+    if mu is not None:
+        om_f = omega[jnp.asarray(fidx)]                   # (F, N)
+        omega = jnp.concatenate([omega, om_f, om_f], 0)
     # Each iteration updates lam from the residual at the CURRENT w =
     # X lam, then refreshes w — the same Jacobi sequence as the
     # textbook "w first, then update" ordering, but the final w IS the
     # velocity correction, saving the separate dv = X lam read, and the
     # first residual is rhs exactly (lam = 0), saving the first J_s.w
     # reduce: 7 (P, nv, N)-tensor sweeps per call instead of 9.
-    lam = jnp.zeros((P, n))
-    w = None                                              # X lam = 0
     for _ in range(iters):
-        resid = rhs if w is None else rhs - J_dot(w)      # (P, N)
-        lam = jnp.maximum(lam + omega * resid / diag, 0.0)
-        # The barrier stops XLA fusing this P-reduce into the m-reduce
-        # above, which recomputes w per pair row — P x the bytes
+        if w is None:
+            resid = rhs                                   # (R, N)
+        elif mode == "Y":
+            # (J M^-1 J^T lam)_r = Y_r . (D^-1 u) with u = sum lam Y —
+            # two compact group passes instead of a dense X read.
+            resid = rhs - rows_dot("Y", w * invD)
+        else:
+            resid = rhs - J_dot(w)
+        lam = lam + omega * resid / diag
+        if mu is None:
+            lam = jnp.maximum(lam, 0.0)
+        else:
+            # Project: normals to the positive cone, tangentials to the
+            # Coulomb box |lam_t| <= mu lam_n (per friction pair, both
+            # axes — box-projected PGS friction).
+            lam_n = jnp.maximum(lam[:P], 0.0)
+            cap = mu * lam_n[jnp.asarray(fidx)]           # (F, N)
+            cap2 = jnp.tile(cap, (2, 1))
+            lam_t = jnp.clip(lam[P:], -cap2, cap2)
+            lam = jnp.concatenate([lam_n, lam_t], 0)
+        # The barrier stops XLA fusing this reduce into its consumers,
+        # which recomputes it per consumer row — R x the bytes
         # (measured 1.67 ms/sweep, 42 GB/s effective, 32% of the whole
-        # ShadowHand step).
-        w = jax.lax.optimization_barrier(
-            jnp.sum(X * lam[:, None, :], 0))              # (nv, N) f32
-    return (vT + w).T
+        # ShadowHand step on the dense path).
+        if mode == "Y":
+            u = jnp.zeros((payload["nv"], n))
+            for rows, dofs, Yg, _ in groups:
+                lg = lam[jnp.asarray(rows)]               # (g, N)
+                u = u.at[jnp.asarray(dofs)].add(
+                    jnp.sum(Yg * lg[:, None, :], 0).astype(jnp.float32))
+            w = jax.lax.optimization_barrier(u)           # u = L^-T J^T lam
+        else:
+            w = jax.lax.optimization_barrier(
+                jnp.sum(X * lam[:, None, :], 0))          # (nv, N) f32
+    if mode == "Y":
+        # dv = M^-1 J^T lam = L^-1 (D^-1 u): ONE cheap full down-pass
+        # on (N,)-rows per call (ltdl_downsolve) — the only place the
+        # dense subtree fill ever materializes.
+        z = w * invD
+        dv = jnp.stack(ltdl_downsolve(
+            payload["chains"], payload["H"],
+            [z[k] for k in range(payload["nv"])]), 0)
+        v_out = (vT + dv).T
+    else:
+        v_out = (vT + w).T
+    return (v_out, (lam, w)) if return_warm else v_out
 
 
 def sphere_sphere_impulse(model: ArticulatedModel, kin, factor, v,
@@ -733,7 +985,8 @@ def sphere_sphere_pairs_forces(model: ArticulatedModel, kin,
                                params: DynParams, links_a, offsets_a,
                                radii_a, links_b, offsets_b, radii_b,
                                mu=1.0, dt=1.0 / 60.0, tau=0.02,
-                               zeta=1.0, return_geometry=False):
+                               zeta=1.0, return_geometry=False,
+                               forces=True):
     """Penalty contacts between P pairs of spheres on (possibly the same)
     articulated body — e.g. ShadowHand finger-finger collisions, which
     the sphere/plane pair set cannot represent (before this, adjacent
@@ -765,6 +1018,10 @@ def sphere_sphere_pairs_forces(model: ArticulatedModel, kin,
      n_w, depth, contact_pt) = _sphere_pair_geometry(
         model, kin, params, links_a, offsets_a, radii_a,
         links_b, offsets_b, radii_b)
+    if not forces:
+        # Geometry-only mode (see sphere_plane_pairs_forces).
+        assert return_geometry and not single
+        return None, (n_w, depth, contact_pt)
     mu_j = jnp.broadcast_to(
         jnp.asarray(mu, jnp.float32).reshape(-1, 1), (P, n)) \
         if jnp.asarray(mu).ndim <= 1 else jnp.asarray(mu, jnp.float32)
@@ -788,8 +1045,11 @@ def sphere_sphere_pairs_forces(model: ArticulatedModel, kin,
     inertia = jnp.moveaxis(jnp.asarray(params.inertia), 0, -1)  # (nb,3,N)
     i_mean = _fold(g_a, jnp.mean(inertia, 1)) + 1e-8
     i_mean_b = _fold(g_b, jnp.mean(inertia, 1)) + 1e-8
+    # True moment arms on both bodies (see sphere_plane_pair_forces).
+    arm_a = jnp.sum((contact_pt - p_a) ** 2, 1)
+    arm_b = jnp.sum((contact_pt - p_b) ** 2, 1)
     m_eff_t = 1.0 / (1.0 / m_a + 1.0 / m_b
-                     + r_a ** 2 / i_mean + r_b ** 2 / i_mean_b)
+                     + arm_a / i_mean + arm_b / i_mean_b)
     cap = jnp.minimum(mu_j * f_n_mag, m_eff_t * v_t_norm / dt)
     f_t = -v_t / v_t_norm[:, None, :] * cap[:, None, :]
     force = n_w * f_n_mag[:, None, :] + f_t                   # on sphere a

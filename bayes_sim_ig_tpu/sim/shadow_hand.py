@@ -81,8 +81,18 @@ FALL_DIST = 0.24
 def build_hand_model():
     """Returns (model, metadata) — hand fixed at origin, palm up, fingers
     pointing +x; cube free above the palm."""
+    # The mount (root) sits at the WORLD ORIGIN and the hand's height
+    # rides on the forearm's fixed joint: the cube's free-joint
+    # coordinates are parent(mount)-relative, so a mount at z = 0.2 made
+    # cube q read 0.2 BELOW world — init_state placed the cube 20 cm
+    # above the palm, it free-fell, and every episode "fell" within ~10
+    # steps (round-4 finding; this silently broke all round-3 ShadowHand
+    # cube physics, the flat 32-dim posterior included). With the mount
+    # at the origin, free-joint q IS world pose and the task-level
+    # PALM_Z anchors agree with the FK geometry (regression-gated by
+    # test_cube_rests_on_palm).
     links = [LinkSpec("mount", parent=-1, joint_type="fixed", mass=0.1,
-                      inertia=(1e-4,) * 3, joint_pos=(0, 0, PALM_Z - 0.1))]
+                      inertia=(1e-4,) * 3)]
     idx = {"mount": 0}
 
     def add(name, parent, jt, **kw):
@@ -96,7 +106,8 @@ def build_hand_model():
         return i
 
     geoms = []
-    add("forearm", "mount", "fixed", mass=1.8, inertia=(0.002,) * 3)
+    add("forearm", "mount", "fixed", mass=1.8, inertia=(0.002,) * 3,
+        joint_pos=(0, 0, PALM_Z - 0.1))
     add("wrist", "forearm", "revolute", joint_axis=(0, 1, 0),
         joint_pos=(0, 0, 0.05), mass=0.3, inertia=(1e-4,) * 3,
         damping=0.5, limit_lower=-0.49, limit_upper=0.14)   # WRJ1
@@ -377,6 +388,37 @@ class ShadowHand(Task):
         link_to_body = {v: k for k, v in name_map.items()}
         self._hand_spheres = [(g.link, g, link_to_body[g.link])
                               for g in m.geoms if g.link != self._cube]
+        # LINE-CONTACT manifold points (round 4, VERDICT round-3 item 3):
+        # a cube face pressed along a phalanx touched ONE sphere, so a
+        # power grasp had no torque resistance about the finger axis and
+        # sustained whole-hand grasps were unrepresentable (the reference
+        # gets full PhysX convex manifolds, ig_env_wrappers.py:314-371).
+        # Each phalanx gets a SECOND penalty contact point near its
+        # proximal end — segment + tip spheres approximate the clipped
+        # capsule-vs-face 2-point manifold. These extras join only the
+        # PENALTY pass (cheap, linear in P); the impulse backstop keeps
+        # its 35 primary pairs — the primary sphere on the same ~2 cm
+        # segment already bounds its motion.
+        self._extra_pts = []                     # (link, offset, r, name)
+        for f in ("ff", "mf", "rf", "lf"):
+            self._extra_pts += [
+                (self._idx[f + "proximal"],
+                 (FINGER_SEG[0] * 0.2, 0, 0), 0.011, f"robot0:{f}proximal"),
+                (self._idx[f + "middle"],
+                 (FINGER_SEG[1] * 0.2, 0, 0), 0.010, f"robot0:{f}middle"),
+                (self._idx[f + "distal"],
+                 (FINGER_SEG[2] * 0.45, 0, 0), 0.009, f"robot0:{f}distal"),
+            ]
+        self._extra_pts += [
+            (self._idx["thmiddle"], (0.008, 0, 0), 0.011,
+             "robot0:thmiddle"),
+            (self._idx["thdistal"], (0.012, 0, 0), 0.009,
+             "robot0:thdistal")]
+        # Full penalty box-contact point set: primaries (impulse-backed)
+        # first, then the line-manifold extras.
+        self._box_pts = ([(l, tuple(g.offset), g.size[0], n)
+                          for (l, g, n) in self._hand_spheres]
+                         + self._extra_pts)
         # Finger-finger sphere pairs (round 3, closing the PARITY.md
         # contact-model caveat): adjacent fingers collide segment-by
         # -segment and the thumb tip against the FF/MF/RF tips — without
@@ -429,22 +471,23 @@ class ShadowHand(Task):
                              gravity=gravity)
 
     def _contact_frictions(self, params_row):
-        """Per-contact-sphere, palm and cube friction multipliers, mapped
-        from each body's shape-friction dim (only the shadow_hand_more
-        config randomizes shape friction)."""
-        sph_mu = jnp.ones(len(self._hand_spheres))
+        """Per-contact-point (primaries then line-manifold extras), palm
+        and cube friction multipliers, mapped from each body's
+        shape-friction dim (only the shadow_hand_more config randomizes
+        shape friction)."""
+        pts_mu = jnp.ones(len(self._box_pts))
         palm_mu = jnp.asarray(1.0)
         if self._hand_fric_dims:
             # Hand shape-friction dims follow HAND_BODIES order.
             body_pos = {b: j for j, b in enumerate(HAND_BODIES)}
             sel = jnp.asarray([self._hand_fric_dims[body_pos[name]]
-                               for (_l, _g, name) in self._hand_spheres])
-            sph_mu = params_row[sel]
+                               for (*_x, name) in self._box_pts])
+            pts_mu = params_row[sel]
             palm_mu = params_row[
                 self._hand_fric_dims[body_pos["robot0:palm"]]]
         obj_mu = (params_row[self._obj_fric_dims[0]]
                   if self._obj_fric_dims else jnp.asarray(1.0))
-        return sph_mu, palm_mu, obj_mu
+        return pts_mu, palm_mu, obj_mu
 
     def init_state(self, key, params):
         n = params.shape[0]
@@ -494,8 +537,15 @@ class ShadowHand(Task):
         tendon_d = jnp.ones_like(tendon_k)
         if self._tendon_damp_dims:
             tendon_d = params[:, jnp.asarray(self._tendon_damp_dims)]
-        kp = jnp.full(20, 2.0)
-        kd = 0.1
+        # Servo gains in the Shadow-MJCF class IG loads (wrist actuators
+        # hold the ~0.8 kg hand against gravity; finger servos are stiff
+        # position drives): kp 2.0 everywhere (rounds 1-3) let the wrist
+        # sag and WOBBLE under its own weight — the oscillating palm
+        # kicked the resting cube to 20 rad/s within 2 steps and shook it
+        # off the hand (round-4 probe; IG's cube rests quietly). The
+        # implicit drive solve makes stiff gains unconditionally stable.
+        kp = jnp.asarray([100.0, 100.0] + [20.0] * 18)
+        kd = jnp.asarray([4.0, 4.0] + [0.5] * 18)
         if self._dof_stiff_dims:  # shadow_hand_more: drive-gain scaling
             stiff_mult = params[:, jnp.asarray(self._dof_stiff_dims)]
             act_pos = [self._hand_dof_links.index(i)
@@ -520,6 +570,13 @@ class ShadowHand(Task):
         n_sph = len(sph_links_l)
         sph_off_np = np.asarray([g.offset for (_l, g, _n)
                                  in self._hand_spheres], np.float32)
+        # Full penalty box-point set (primaries + line-manifold extras,
+        # __init__); the impulse backstop keeps the primary rows only.
+        box_links_l = [l for (l, _o, _r, _n) in self._box_pts]
+        box_off_np = np.asarray([o for (_l, o, _r, _n) in self._box_pts],
+                                np.float32)
+        box_radii = np.asarray([r for (_l, _o, r, _n) in self._box_pts],
+                               np.float32)
         # Object scale is applied EXPLICITLY here (pre-scaled corner
         # offsets / box half-extents / init height / cube inertia) and
         # _dyn_params leaves dp.scale at 1.0, so the contact functions'
@@ -544,7 +601,7 @@ class ShadowHand(Task):
         # round-3 review finding).
         mu_palm = jnp.broadcast_to((palm_mu * obj_mu)[None, :],
                                    (8, n_env))
-        mu_box = tip_mu.T * obj_mu[None, :]                 # (14, N)
+        mu_box = tip_mu.T * obj_mu[None, :]                 # (n_box, N)
 
         # Finger-finger self-collision (13 sphere-sphere pairs, see
         # __init__): friction per pair is the product of the two
@@ -563,12 +620,22 @@ class ShadowHand(Task):
         imp_links_a = [self._cube] * 8 + sph_links_l + ss_links_a
         imp_links_b = [self._palm] * 8 + [self._cube] * n_sph \
             + ss_links_b
-        imp_slop = np.asarray([0.006] * (8 + n_sph)
-                              + [0.0] * len(ss_links_a), np.float32)
-        # BSIM_HAND_IMPULSE: "1" (default) = all 35 pairs, "ss" =
-        # finger-finger only (13), "0" = penalty-only (perf A/B knob;
-        # "0"/"ss" re-admit servo crush-through, see contact_pairs_
-        # impulse).
+        # Cube-palm rest is owned by the VELOCITY-LEVEL solver (normals
+        # + Coulomb friction rows, see below): the solver holds the
+        # resting depth at its slop, so palm slop = the corner-sphere
+        # radius puts the cube face flush on the palm plane. Finger-cube
+        # pairs keep the penalty pass for resting contact (6 mm slop >
+        # the penalty's ~4 mm free rest depth: the impulse only stops
+        # servo crush-through); finger-finger pairs get none.
+        imp_slop = np.asarray(
+            [float(os.environ.get("BSIM_HAND_PALM_SLOP", "0.002"))] * 8
+            + [0.006] * n_sph
+            + [0.0] * len(ss_links_a), np.float32)
+        # BSIM_HAND_IMPULSE: "1" (default) = all 35 pairs with
+        # velocity-level cube-palm normals+friction, "ss" = finger-finger
+        # only (13, palm reverts to penalty), "0" = penalty-only (perf
+        # A/B knob; "0"/"ss" re-admit servo crush-through, see
+        # contact_pairs_impulse).
         imp_mode = os.environ.get("BSIM_HAND_IMPULSE", "1")
 
         # Finger PD drives are solved IMPLICITLY in forward_dynamics (the
@@ -582,7 +649,7 @@ class ShadowHand(Task):
         kd_dof = jnp.zeros((n_env, m.nv)).at[:, act_v].set(kd)
         tgt_dof = jnp.zeros((n_env, m.nv)).at[:, act_v].set(targets)
 
-        def substep(carry, _):
+        def substep(carry, sub_i):
             q, v, factor = carry
             tau = jnp.zeros((q.shape[0], m.nv))
             # Tendon coupling: spring-damper pulling q_J1 toward q_J0.
@@ -596,22 +663,37 @@ class ShadowHand(Task):
                 tau = tau.at[:, v1].add(-f_t)
                 tau = tau.at[:, v0].add(f_t)
             kin = forward_kinematics(m, q, v, dp)
+            # Cube-palm contact is GEOMETRY-ONLY when the velocity-level
+            # solver owns it (imp_mode "1"): the explicit penalty spring
+            # on the 8 corner-palm pairs was an energy pump — start-of-
+            # substep depth under-forces approach / over-forces retreat,
+            # so the resting cube bounced at 2-3 cm amplitude and
+            # wandered off the palm (round-4 probes; overdamping and
+            # impulse-sharing caps both measured worse). The restitution-
+            # free projected-impulse solve with Coulomb rows is the
+            # stable construction (PhysX's), and skipping the penalty
+            # force math also removes its bandwidth.
+            palm_veloc = imp_mode == "1"
             f_palm, geo_palm = sphere_plane_pairs_forces(
                 m, kin, dp, [self._cube] * 8, corner_off_s,
                 np.full(8, 0.002, np.float32), [self._palm] * 8,
                 palm_pts, palm_nrms, mu_palm, dt=h,
                 plane_halfsizes=np.full(8, 0.12, np.float32),
-                return_geometry=True)
+                return_geometry=True, forces=not palm_veloc)
             f_box, geo_box = sphere_box_pairs_forces(
-                m, kin, dp, sph_links_l, sph_off_np, sph_radii,
+                m, kin, dp, box_links_l, box_off_np, box_radii,
                 self._cube, cube_half, mu_box, dt=h,
                 return_geometry=True)
             f_ss, geo_ss = sphere_sphere_pairs_forces(
                 m, kin, dp, ss_links_a, sph_off_np[ss_ai],
                 sph_radii[ss_ai], ss_links_b, sph_off_np[ss_bi],
                 sph_radii[ss_bi], mu=ss_mu, dt=h, return_geometry=True)
-            f_ext = f_palm + f_box + f_ss
-            imp_geo = tuple(jnp.concatenate([a, b, c], 0)
+            f_ext = f_box + f_ss
+            if not palm_veloc:
+                f_ext = f_ext + f_palm
+            # The impulse set keeps the PRIMARY box rows only (the
+            # line-manifold extras are penalty-only; a static slice).
+            imp_geo = tuple(jnp.concatenate([a, b[:n_sph], c], 0)
                             for a, b, c in zip(geo_palm, geo_box,
                                                geo_ss))
             qdd, _, factor = forward_dynamics(
@@ -636,19 +718,34 @@ class ShadowHand(Task):
                     n_cube = 8 + n_sph
                     la, lb, slop = ss_links_a, ss_links_b, 0.0
                     geo = tuple(g[n_cube:] for g in imp_geo)
+                    imp_mu, imp_fric = None, None
                 else:
                     la, lb, slop = imp_links_a, imp_links_b, imp_slop
                     geo = imp_geo
+                    # Coulomb friction rows for the 8 cube-palm support
+                    # pairs (pure velocity-level there); finger-cube and
+                    # finger-finger keep penalty friction — every extra
+                    # row is streamed bandwidth in the sweeps.
+                    imp_mu = mu_palm
+                    imp_fric = np.arange(8)
                 # TGS-style split: the Jacobian + M^-1 J^T prepare (the
                 # expensive half) runs on the FIRST substep only and is
                 # reused — J moves O(mm) within a control step; the
-                # sweeps run per substep against fresh depth/velocity.
+                # sweeps run per substep against fresh depth/velocity,
+                # warm-started from the previous substep's (lam, w)
+                # (shared payload, O(h) state motion), so later substeps
+                # converge in fewer sweeps — each saved sweep is one
+                # (P, nv, N) X read (BSIM_HAND_SWEEPS, per-substep
+                # iteration counts; A/B in PARITY.md).
                 if imp_prep[0] is None:
                     imp_prep[0] = contact_pairs_impulse_prepare(
-                        m, kin, factor, la, lb, geo[0], geo[2])
+                        m, kin, factor, la, lb, geo[0], geo[2],
+                        mu=imp_mu, fric_pairs=imp_fric)
                 v_pred = v + h * qdd
-                v_res = contact_pairs_impulse_apply(
-                    imp_prep[0], v_pred, geo[1], dt=h, slop=slop)
+                v_res, imp_warm[0] = contact_pairs_impulse_apply(
+                    imp_prep[0], v_pred, geo[1], dt=h, slop=slop,
+                    iters=imp_iters[min(sub_i, len(imp_iters) - 1)],
+                    warm=imp_warm[0], return_warm=True)
                 qdd = qdd + (v_res - v_pred) / h
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
@@ -662,8 +759,14 @@ class ShadowHand(Task):
         # (BSIM_FROZEN_MASS=1; measured slower here, dynamics.py).
         carry = (state.q, state.v, None)
         imp_prep = [None]        # filled at substep-1 trace, then reused
-        for _ in range(self.substeps):
-            carry, _ = substep(carry, None)
+        imp_warm = [None]        # (lam, w) carried substep -> substep
+        # Per-substep sweep counts: the warm-started later substeps need
+        # fewer projected-Jacobi iterations (apply docstring); measured
+        # A/B in PARITY.md round 4.
+        imp_iters = [int(s) for s in os.environ.get(
+            "BSIM_HAND_SWEEPS", "4,2").split(",")]
+        for sub_i_ in range(self.substeps):
+            carry, _ = substep(carry, sub_i_)
         q, v, _ = carry
         return HandState(q=q, v=v, goal_quat=state.goal_quat,
                          prev_actions=jnp.clip(actions, -1, 1),

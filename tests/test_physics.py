@@ -841,3 +841,84 @@ class TestFrozenMassSubsteps:
         assert np.isfinite(np.asarray(frozen.q)).all()
         assert np.isfinite(np.asarray(frozen.v)).all()
         assert dev < 0.01 * scale, (dev, scale)
+
+
+class TestImpulseCompactEquivalence:
+    """The compact half-solve Delassus path (mode="Y": Y = L^-T J^T over
+    closure groups + one final L^-1 down-pass) must be the SAME math as
+    the dense X = M^-1 J^T route (mode="X") — identical projected-Jacobi
+    iterates in exact arithmetic. Gate run in f32 (BSIM_PHYS_BF16=0) so
+    the tolerance is reorder noise, not bf16."""
+
+    def _hand_like(self):
+        links = [LinkSpec("palm", parent=-1, joint_type="fixed",
+                          mass=0.5, inertia=(1e-3,) * 3)]
+        for f in range(2):
+            parent = 0
+            for s in range(3):
+                links.append(LinkSpec(
+                    f"f{f}s{s}", parent=parent, joint_type="revolute",
+                    joint_axis=(0, 1, 0),
+                    joint_pos=(0.03, 0.02 * f, 0.0), mass=0.05,
+                    inertia=(2e-5,) * 3, damping=0.05))
+                parent = len(links) - 1
+        links.append(LinkSpec("cube", parent=-1, joint_type="free",
+                              mass=0.1, inertia=(6e-5,) * 3))
+        return ArticulatedModel(links, fixed_base=True)
+
+    def test_compact_matches_dense(self, monkeypatch):
+        from bayes_sim_ig_tpu.physics.contact import (
+            contact_pairs_impulse_prepare, contact_pairs_impulse_apply)
+        monkeypatch.setenv("BSIM_PHYS_BF16", "0")
+        monkeypatch.setenv("BSIM_TREE_SOLVE", "1")
+        model = self._hand_like()
+        cube = len(model.links) - 1 if hasattr(model, "links") else 7
+        n = 16
+        rng = np.random.default_rng(0)
+        q = np.tile(model.neutral_q(), (n, 1)).astype(np.float32)
+        q += rng.normal(0, 0.05, q.shape).astype(np.float32)
+        # Renormalize the cube free-joint quaternion.
+        cq = model.q_index_of_dof[model.nv - 6] \
+            if hasattr(model, "q_index_of_dof") else None
+        v = rng.normal(0, 0.3, (n, model.nv)).astype(np.float32)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                       (n,) + jnp.asarray(a).shape),
+            DynParams.defaults(model))
+        qj = jnp.asarray(q)
+        kin = forward_kinematics(model, qj, jnp.asarray(v), params)
+        _, _, factor = forward_dynamics(
+            model, qj, jnp.asarray(v), jnp.zeros((n, model.nv)), params,
+            dt=1 / 120.0, kin=kin, return_factor=True)
+        assert factor[0] == "tree"
+        P = 4
+        tips = [3, 6]                        # distal links of each finger
+        links_a = [cube, tips[0], tips[1], tips[0]]
+        links_b = [0, cube, cube, 0]
+        n_w = rng.normal(0, 1, (P, 3, n)).astype(np.float32)
+        n_w /= np.linalg.norm(n_w, axis=1, keepdims=True)
+        contact_pt = rng.normal(0, 0.05, (P, 3, n)).astype(np.float32)
+        depth = rng.normal(0.002, 0.004, (P, n)).astype(np.float32)
+        mu = np.asarray([0.8, 0.5], np.float32)
+        fric = [0, 2]
+
+        outs = {}
+        for mode in ("0", "1"):
+            monkeypatch.setenv("BSIM_IMPULSE_COMPACT", mode)
+            payload = contact_pairs_impulse_prepare(
+                model, kin, factor, links_a, links_b,
+                jnp.asarray(n_w), jnp.asarray(contact_pt),
+                mu=jnp.asarray(mu), fric_pairs=fric)
+            v1, warm = contact_pairs_impulse_apply(
+                payload, jnp.asarray(v), jnp.asarray(depth),
+                dt=1 / 120.0, iters=4, warm=None, return_warm=True)
+            v2 = contact_pairs_impulse_apply(
+                payload, v1, jnp.asarray(depth) * 0.9, dt=1 / 120.0,
+                iters=2, warm=warm)
+            outs[mode] = (np.asarray(v1), np.asarray(v2),
+                          np.asarray(warm[0]))
+        for i in range(3):
+            np.testing.assert_allclose(outs["0"][i], outs["1"][i],
+                                       rtol=2e-4, atol=2e-5)
+        # The solve did something (contacts bind).
+        assert np.abs(outs["0"][0] - v).max() > 1e-3

@@ -286,6 +286,74 @@ class TestShadowHandCube:
         assert np.isfinite(np.asarray(env.state.task_state.q)).all()
         assert worst < 0.016, worst
 
+    def test_sustained_squeeze_holds_cube(self):
+        """VERDICT round-3 item 3 'done' gate: a max-effort 200-step
+        full-curl squeeze HOLDS the cube — it neither tunnels through
+        (settled penetration bounded near the 6 mm rest slop across ALL
+        contact points, line-manifold extras included) nor ejects it
+        (the cube stays inside the fall radius for the whole run). The
+        phalanx line-contact extras give the grasp torque resistance
+        about each finger axis; the impulse backstop bounds the
+        primaries."""
+        from bayes_sim_ig_tpu.sim.shadow_hand import CUBE_HALF
+        from bayes_sim_ig_tpu.physics import (forward_kinematics,
+                                              DynParams)
+        from bayes_sim_ig_tpu.physics.spatial import quat_to_rot
+        env = _delta_env("ShadowHand", np.ones(32), num_envs=2)
+        env.reset()
+        task = env.task
+        cq = task._cube_q
+        links = np.asarray([p[0] for p in task._box_pts])
+        offs = np.stack([np.asarray(p[1], np.float32)
+                         for p in task._box_pts])
+        radii = np.asarray([p[2] for p in task._box_pts], np.float32)
+        dp = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                       (2,) + jnp.asarray(a).shape),
+            DynParams.defaults(task.model))
+
+        @jax.jit
+        def max_pen(q, v):
+            kin = forward_kinematics(task.model, q, v, dp)
+            R = kin.R_w[links]
+            p = kin.p_w[links]
+            c = p + jnp.einsum("sijn,sj->sin", R, offs)
+            cube_p = kin.p_w[task._cube]
+            Rc = jax.vmap(quat_to_rot)(q[:, cq + 3:cq + 7])
+            RcT = jnp.moveaxis(Rc, 0, -1)
+            local = jnp.einsum("jin,sjn->sin", RcT, c - cube_p[None])
+            d_face = jnp.max(jnp.abs(local), 1) - CUBE_HALF
+            pen = radii[:, None] - d_face
+            inside = jnp.all(
+                jnp.abs(local) < CUBE_HALF + radii[:, None, None], 1)
+            return jnp.max(jnp.where(inside, pen, 0.0))
+
+        # Max-effort CURL: wrist and abductions held at their neutral
+        # (q = 0) targets — driving every dof to +1 rolls the wrist 28
+        # degrees sideways and the cube falls off the tilted palm before
+        # any grasp forms (measured; a grasp closes fingers, not the
+        # wrist) — flexions and thumb opposition at full drive.
+        lo, hi = task._act_lo, task._act_hi
+        act = np.tile((2.0 * (0.0 - lo) / (hi - lo) - 1.0).astype(
+            np.float32), (2, 1))
+        flex = [3, 4, 6, 7, 9, 10, 13, 14,   # FF/MF/RF/LF J2+J0
+                16, 19]                      # THJ3 + THJ0
+        act[:, flex] = 1.0
+        worst_settled = 0.0
+        for t in range(200):
+            env.step(jnp.asarray(act))
+            st = env.state.task_state
+            # The cube must never leave the fall radius (held, not shot
+            # out of the hand by the squeeze).
+            fallen = np.asarray(task._cube_fallen(st))
+            assert not fallen.any(), (t, fallen)
+            if t >= 100:  # settled regime: impact transients decayed
+                worst_settled = max(worst_settled,
+                                    float(max_pen(st.q, st.v)))
+        assert np.isfinite(np.asarray(env.state.task_state.q)).all()
+        # 6 mm rest slop + 4 mm sustained allowance.
+        assert worst_settled < 0.010, worst_settled
+
     def test_fingers_cannot_cross_through_each_other(self):
         """Finger-finger self-collision (round-3 addition closing the
         PARITY.md contact caveat): abducting FF toward -y and MF toward
