@@ -257,6 +257,12 @@ class HandState(NamedTuple):
     goal_quat: jnp.ndarray     # (N, 4)
     prev_actions: jnp.ndarray  # (N, 20)
     gravity_dz: jnp.ndarray    # (N,) per-episode gravity perturbation
+    # (N, 18) world-frame contact forces at the 5 fingertip sensors +
+    # the palm, derived from the step's own contact solve (VERDICT
+    # round-3 item 8: IG's full_state carries fingertip force sensors,
+    # shadow_hand.py obs_type "full_state"); zeros unless the task's
+    # forceSensorObs flag computes them.
+    tip_force: jnp.ndarray
 
 
 def _random_quat(key, n):
@@ -289,6 +295,17 @@ class ShadowHand(Task):
         self.reach_goal_bonus = float(env_cfg.get("reachGoalBonus", 250))
         self.fall_dist = float(env_cfg.get("fallDistance", FALL_DIST))
         self.fall_penalty = float(env_cfg.get("fallPenalty", 0.0))
+        # Opt-in fingertip/palm force-sensor obs block (18 dims),
+        # stepping the 89-dim approximation toward IG's 211-dim
+        # full_state (whose 30 dims of fingertip force sensors the
+        # closed reference exposes via obs_type "full_state" —
+        # ig_env_wrappers.py ShadowHandB). Derived from the step's own
+        # contact solve: penalty forces summed per fingertip + the
+        # velocity-level palm impulse rows (physics_step).
+        self.force_sensor_obs = bool(env_cfg.get("forceSensorObs",
+                                                 False))
+        if self.force_sensor_obs:
+            self.obs_dim = ShadowHand.obs_dim + 18
         (self.model, self._idx, self._fingertips, name_map,
          self._tendon_pairs, self._cube) = build_hand_model()
         m = self.model
@@ -516,7 +533,8 @@ class ShadowHand(Task):
             gravity_dz = jnp.zeros(n)
         return HandState(q=q, v=v, goal_quat=goal,
                          prev_actions=jnp.zeros((n, 20)),
-                         gravity_dz=gravity_dz)
+                         gravity_dz=gravity_dz,
+                         tip_force=jnp.zeros((n, 18)))
 
     def physics_step(self, state, actions, params, key):
         # Natively batched engine call (dynamics.py) — no vmap around the
@@ -691,6 +709,10 @@ class ShadowHand(Task):
             f_ext = f_box + f_ss
             if not palm_veloc:
                 f_ext = f_ext + f_palm
+            if self.force_sensor_obs:
+                # Last substep's values win (overwritten each substep) —
+                # the force the sensors report for the step.
+                sensor_stash[0] = (f_box, f_palm, geo_box)
             # The impulse set keeps the PRIMARY box rows only (the
             # line-manifold extras are penalty-only; a static slice).
             imp_geo = tuple(jnp.concatenate([a, b[:n_sph], c], 0)
@@ -760,6 +782,7 @@ class ShadowHand(Task):
         carry = (state.q, state.v, None)
         imp_prep = [None]        # filled at substep-1 trace, then reused
         imp_warm = [None]        # (lam, w) carried substep -> substep
+        sensor_stash = [None]    # last substep's (f_box, f_palm, geo_box)
         # Per-substep sweep counts: the warm-started later substeps need
         # fewer projected-Jacobi iterations (apply docstring); measured
         # A/B in PARITY.md round 4.
@@ -768,9 +791,60 @@ class ShadowHand(Task):
         for sub_i_ in range(self.substeps):
             carry, _ = substep(carry, sub_i_)
         q, v, _ = carry
+        if self.force_sensor_obs:
+            tip_force = self._sensor_forces(sensor_stash[0], imp_warm[0],
+                                            imp_mode, n_sph, h, n_env)
+        else:
+            tip_force = jnp.zeros((n_env, 18))
         return HandState(q=q, v=v, goal_quat=state.goal_quat,
                          prev_actions=jnp.clip(actions, -1, 1),
-                         gravity_dz=state.gravity_dz)
+                         gravity_dz=state.gravity_dz,
+                         tip_force=tip_force)
+
+    def _sensor_forces(self, stash, warm, imp_mode, n_sph, h, n_env):
+        """World-frame contact forces at the 5 fingertip sensors + the
+        palm, (N, 18), from the LAST substep's contact solve — the
+        tpu-native stand-in for IG full_state's fingertip force sensors
+        (the closed ShadowHandB exposes PhysX sensor readings;
+        /root/reference/bayes_sim_ig/sim/ig_env_wrappers.py:314-371).
+        Fingertips: penalty box-contact forces summed over each distal
+        link's contact points (the resting/grasp signal) plus the
+        impulse backstop's normal rows (lam/h along the contact
+        normal). Palm: the velocity-level cube-palm rows exactly —
+        normals + Coulomb tangentials (impulse/h), the solver that OWNS
+        that contact; reaction sign (force ON the palm FROM the cube)."""
+        f_box, f_palm, geo_box = stash
+        n_box = geo_box[0]                               # (n_pts, 3, N)
+        sensors = list(self._fingertips)
+        rows = []
+        for tl in sensors:
+            # Penalty forces arrive pre-accumulated per LINK as spatial
+            # wrenches (nb, 6, N): the tip's linear part is exactly the
+            # sum over its contact points.
+            f = f_box[tl, 3:]                            # (3, N) on tip
+            if imp_mode == "1" and warm is not None:
+                lam = warm[0]
+                for j, (l, *_r) in enumerate(self._box_pts):
+                    if l == tl and j < n_sph:  # impulse-backed primaries
+                        f = f + n_box[j] * lam[8 + j][None] / h
+            rows.append(f)
+        # Palm: impulse rows 0..8 are cube-palm normals (+z world,
+        # palm_nrms) and their Coulomb tangent rows sit at [P:P+8] (t1)
+        # / [P+F:P+F+8] (t2) with t1 = z x x = +y, t2 = z x t1 = -x
+        # (contact_pairs_impulse_prepare's branchless basis at n = e_z).
+        if imp_mode == "1" and warm is not None:
+            lam = warm[0]
+            P = lam.shape[0] - 16                        # R = P + 2F, F=8
+            f_n = jnp.sum(lam[0:8], 0) / h               # (N,) along +z
+            f_t1 = jnp.sum(lam[P:P + 8], 0) / h          # along +y
+            f_t2 = jnp.sum(lam[P + 8:P + 16], 0) / h     # along -x
+            palm_f = jnp.stack([f_t2, -f_t1, -f_n], 0)   # ON palm
+        else:
+            # Penalty palm mode: the palm link's accumulated wrench
+            # already carries the reaction sign.
+            palm_f = f_palm[self._palm, 3:]
+        rows.append(palm_f)
+        return jnp.concatenate(rows, 0).T                # (N, 18)
 
     def _cube_pose(self, state):
         cq = self._cube_q
@@ -787,7 +861,7 @@ class ShadowHand(Task):
         pos, quat = self._cube_pose(state)
         palm_anchor = jnp.array([0.06, 0.0, PALM_Z])
         diff = self._quat_diff(quat, state.goal_quat)
-        return jnp.concatenate([
+        cols = [
             state.q[:, jnp.asarray(self._dof_q)],
             state.v[:, jnp.asarray(self._dof_v)],
             pos - palm_anchor,
@@ -796,7 +870,13 @@ class ShadowHand(Task):
             state.v[:, cv:cv + 3],
             state.goal_quat,
             diff,
-            state.prev_actions], axis=-1)
+            state.prev_actions]
+        if self.force_sensor_obs:
+            # IG full_state appends fingertip force-sensor readings
+            # after the kinematic block; same placement here (scaled to
+            # O(1) — contact forces run 0..5 N at these masses).
+            cols.append(state.tip_force)
+        return jnp.concatenate(cols, axis=-1)
 
     def _rot_dist(self, state):
         _, quat = self._cube_pose(state)

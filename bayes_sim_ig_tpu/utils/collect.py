@@ -105,11 +105,38 @@ def policy_rl_randomized(act, key, frac_rnd=0.1):
     return jnp.where(rnd < frac_rnd, random_act, act)
 
 
+# ShadowHand curl pattern: full flexion + thumb opposition, wrist and
+# abductions jittering around neutral. Action layout: [WRJ1, WRJ0,
+# FFJ3(abd), FFJ2, FFJ0c, MFJ3, MFJ2, MFJ0c, RFJ3, RFJ2, RFJ0c,
+# LFJ4, LFJ3, LFJ2, LFJ0c, THJ4, THJ3, THJ2, THJ1, THJ0].
+_GRASP_FLEX = (3, 4, 6, 7, 9, 10, 13, 14, 16, 19)
+
+
+def policy_grasp(act, key):
+    """Grasp-exciting collection (VERDICT round-3 item 4): the
+    reference's `policy_ones` — max servo targets — is its squeeze
+    excitation (collect_trajectories.py:96-99), but on this hand's
+    action layout all-ones also rolls the WRIST 28 degrees sideways and
+    the cube slides off before a grasp forms (measured in the squeeze
+    behavior gate, test_task_behaviors.py). The tpu-native equivalent
+    drives the finger flexion/opposition dofs to max while the wrist
+    and abductions jitter around neutral: sustained multi-finger power
+    grasps whose contact forces excite the mass/tendon/friction dims
+    that free rattling cannot (20-dof ShadowHand layout above; other
+    tasks should keep policy_random/policy_ones)."""
+    base = jnp.full_like(act, 0.0)
+    base = base.at[..., jnp.asarray(_GRASP_FLEX)].set(1.0)
+    jitter = jax.random.uniform(key, act.shape, act.dtype,
+                                minval=-0.3, maxval=0.3)
+    return jnp.clip(base + jitter, -1.0, 1.0)
+
+
 _POLICY_REGISTRY = {
     "policy_ones": policy_ones,
     "policy_random": policy_random,
     "policy_rl": policy_rl,
     "policy_rl_randomized": policy_rl_randomized,
+    "policy_grasp": policy_grasp,
 }
 
 

@@ -354,6 +354,67 @@ class TestShadowHandCube:
         # 6 mm rest slop + 4 mm sustained allowance.
         assert worst_settled < 0.010, worst_settled
 
+    def test_force_sensor_obs_block(self):
+        """Opt-in fingertip/palm force-sensor obs (VERDICT round-3 item
+        8, toward IG full_state's sensor dims): with
+        env.forceSensorObs, obs grows 89 -> 107 and a squeeze produces
+        a finite, NONZERO palm reading of at least the cube's weight
+        (the velocity-level palm rows carry the cube) plus some
+        fingertip contact; the default config keeps 89 dims and a
+        zeros tip_force."""
+        cfg = load_cfg("ShadowHand", 4)
+        cfg["env"]["forceSensorObs"] = True
+        env = make_env("ShadowHand", cfg)
+        task = env.task
+        assert task.obs_dim == 107
+        spec = task.params_spec
+        mog = MoG(a=[1.0], ms=[np.ones(spec.dim, np.float64)],
+                  Ss=[np.eye(spec.dim) * 1e-12])
+        env.set_distr(to_device_distr(mog, spec.lows, spec.highs))
+        obs = env.reset()
+        assert obs.shape == (4, 107)
+        lo, hi = task._act_lo, task._act_hi
+        act = np.tile((2.0 * (0.0 - lo) / (hi - lo) - 1.0).astype(
+            np.float32), (4, 1))
+        act[:, [3, 4, 6, 7, 9, 10, 13, 14, 16, 19]] = 1.0  # full curl
+        for _ in range(60):
+            env.step(jnp.asarray(act))
+        tf = np.asarray(env.state.task_state.tip_force)
+        assert np.isfinite(tf).all()
+        sensor_f = np.linalg.norm(tf.reshape(4, 6, 3), axis=2)
+        # Palm (sensor 5) carries at least the ~0.78 N cube weight in
+        # every env (a full curl grips via palm + proximal/middle
+        # phalanges; the DISTAL sensors — where IG mounts them — curl
+        # past the small cube, correctly reading ~0).
+        assert (sensor_f[:, 5] > 0.5).all(), sensor_f[:, 5]
+        obs = np.asarray(task.observe(env.state.task_state,
+                                      env.state.params))
+        np.testing.assert_array_equal(obs[:, 89:], tf)
+        # Half curl presses fingerTIPS onto the cube's top face: some
+        # distal sensor reads contact (tip placement varies with the
+        # per-env reset jitter, so the gate is batch-wide).
+        env.reset()
+        act = np.tile((2.0 * (0.0 - lo) / (hi - lo) - 1.0).astype(
+            np.float32), (4, 1))
+        act[:, [3, 6, 9, 13]] = 0.4    # FF/MF/RF/LF J2
+        act[:, [4, 7, 10, 14]] = 0.2   # J0c (distal+middle coupled)
+        act[:, [16, 19]] = 0.4         # thumb
+        for _ in range(60):
+            env.step(jnp.asarray(act))
+        tf2 = np.asarray(env.state.task_state.tip_force)
+        tips2 = np.linalg.norm(tf2.reshape(4, 6, 3), axis=2)[:, :5]
+        assert np.isfinite(tf2).all()
+        # Light touch: O(0.01 N) distal readings are the real signal at
+        # this pose (the cube weighs 0.78 N and rests on the palm; the
+        # tips only graze its top face).
+        assert tips2.max() > 0.01, tips2
+        # Default config: dims and the zeros block unchanged.
+        env0 = _delta_env("ShadowHand", np.ones(32), num_envs=2)
+        assert env0.task.obs_dim == 89
+        env0.reset()
+        env0.step(jnp.zeros((2, 20)))
+        assert not np.asarray(env0.state.task_state.tip_force).any()
+
     def test_fingers_cannot_cross_through_each_other(self):
         """Finger-finger self-collision (round-3 addition closing the
         PARITY.md contact caveat): abducting FF toward -y and MF toward
