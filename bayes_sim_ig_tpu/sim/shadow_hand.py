@@ -784,10 +784,16 @@ class ShadowHand(Task):
         imp_warm = [None]        # (lam, w) carried substep -> substep
         sensor_stash = [None]    # last substep's (f_box, f_palm, geo_box)
         # Per-substep sweep counts: the warm-started later substeps need
-        # fewer projected-Jacobi iterations (apply docstring); measured
-        # A/B in PARITY.md round 4.
+        # fewer projected-Jacobi iterations (apply docstring). Default
+        # "2,1" from the round-4 A/B (each saved sweep is one streamed
+        # group-factor read): 2,1 = 3.01M env-steps/s @16k envs with a
+        # BETTER adversarial crush margin than 4,2 (10.7 mm vs 14.4 mm
+        # worst penetration on the max-effort squeeze, gate 16 mm) —
+        # warm-carried impulses across substeps converge like TGS's
+        # one-iteration-per-substep scheme, so per-substep sweep count
+        # buys little; 4,2 = 2.65M, 1,1 and 4,0 fail the crush gate.
         imp_iters = [int(s) for s in os.environ.get(
-            "BSIM_HAND_SWEEPS", "4,2").split(",")]
+            "BSIM_HAND_SWEEPS", "2,1").split(",")]
         for sub_i_ in range(self.substeps):
             carry, _ = substep(carry, sub_i_)
         q, v, _ = carry
