@@ -253,13 +253,26 @@ def _structure(model: ArticulatedModel):
         jump_gathers.append(g)
         ptr = ptr[ptr]
         covered *= 2
-    j1_from_links = np.zeros((nj, nb), np.float32)       # gather 1-dof links
-    j1_from_links[np.arange(nj), model.j1_links] = 1.0
-    j1_to_links = j1_from_links.T                        # scatter back
+    # Chain-aware 1-dof scatters: only the LAST dof of each joint chain
+    # scatters its composed (G, u) product to its owning link row (for
+    # single-dof joints — every model without phantom links — the chain
+    # has length 1 and this is the plain per-joint scatter).
+    j1_to_links = np.zeros((nb, nj), np.float32)
+    last = np.flatnonzero(model.j1_last)
+    j1_to_links[model.j1_links[last], last] = 1.0
     j1_to_v = np.zeros((nv, nj), np.float32)             # dof rows scatter
     j1_to_v[model.j1_v, np.arange(nj)] = 1.0
-    dof_from_link = np.zeros((nv, nb), np.float32)       # V_o per dof link
-    dof_from_link[np.arange(nv), model.dof_link] = 1.0
+    # Chain compose: previous-dof gather + per-position row masks.
+    j1_prev_gather = np.zeros((nj, nj), np.float32)
+    j1_prev_gather[np.arange(nj), np.maximum(model.j1_prev, 0)] = 1.0
+    chain_masks = [
+        (model.j1_chain_pos == p).astype(np.float32)
+        for p in range(model.j1_chain_maxpos + 1)]
+    # Parent-link gather for the dof subspace anchors/axes (row nb of
+    # the padded pose arrays is the identity virtual root).
+    j1_par_gather = np.zeros((nj, nb + 1), np.float32)
+    j1_par_gather[np.arange(nj),
+                  np.append(model.parent_pad, nb)[model.j1_links]] = 1.0
     # Free-joint scatters + static row masks (fold-adds replace .at[]
     # row writes, which copy the whole destination array per write).
     free = model.free_list
@@ -275,8 +288,9 @@ def _structure(model: ArticulatedModel):
         fixed_rows[i] = 0.0
         nonfree_rows[i] = 0.0
     s = dict(jump_gathers=jump_gathers,
-             j1_from_links=j1_from_links, j1_to_links=j1_to_links,
-             j1_to_v=j1_to_v, dof_from_link=dof_from_link,
+             j1_to_links=j1_to_links, j1_to_v=j1_to_v,
+             j1_prev_gather=j1_prev_gather, chain_masks=chain_masks,
+             j1_par_gather=j1_par_gather,
              free_to_links=free_to_links, free_to_v=free_to_v,
              fixed_rows=fixed_rows, nonfree_rows=nonfree_rows)
     model._el_structure = s
@@ -308,9 +322,13 @@ def forward_kinematics(model: ArticulatedModel, q, v_dof,
     E_tT = jnp.asarray(model.joint_rot_T, jnp.float32)    # (nb, 3, 3)
     fixed = st["fixed_rows"][:, None, None]
     R_loc = jnp.broadcast_to((E_tT * fixed)[..., None], (nb, 3, 3, n))
-    r_loc = jnp.asarray(model.joint_pos * st["nonfree_rows"][:, None],
+    # Base translations cover FIXED rows only: 1-dof rows route theirs
+    # through the per-dof chain tables (u below), free rows through q.
+    r_loc = jnp.asarray(model.joint_pos * st["fixed_rows"][:, None],
                         jnp.float32)[..., None] * scale   # (nb, 3, N)
+    G = u = None
     if model.j1_links.size:
+        nj = len(model.j1_links)
         q1 = qT[model.j1_q]                               # (nj, N)
         axes = jnp.asarray(model.j1_axis)[..., None]      # (nj, 3, 1)
         rev = jnp.asarray(model.j1_rev)[:, None]          # (nj, 1)
@@ -326,17 +344,34 @@ def forward_kinematics(model: ArticulatedModel, q, v_dof,
                        ay * az * one - ax * sin], 1),
             jnp.stack([az * ax * one - ay * sin, az * ay * one + ax * sin,
                        cos + az * az * one], 1)], 1)      # (nj, 3, 3, N)
-        E1 = jnp.broadcast_to(E_tT[model.j1_links][..., None],
-                              (len(model.j1_links), 3, 3, n))
-        R_loc = R_loc + _fold(st["j1_to_links"], _mm(E1, Rj))
-        # Prismatic translation along E_t^T @ axis by q (zero for
-        # revolute rows, so an unconditional fold-add is exact).
-        ax_par = np.einsum("jik,jk->ji", model.joint_rot_T[model.j1_links],
+        E1 = jnp.broadcast_to(jnp.asarray(model.j1_E)[..., None],
+                              (nj, 3, 3, n))
+        # Per-dof local transform within its joint chain: rotation
+        # G = E^T R(a, q) and translation u = t * scale (+ E^T a q for
+        # prismatic rows, which is exact to add unconditionally since
+        # the revolute mask zeroes it).
+        G = _mm(E1, Rj)
+        ax_par = np.einsum("jik,jk->ji", model.j1_E,
                            model.j1_axis)                 # (nj, 3) static
         pris = q1 * (1.0 - rev)                           # (nj, N)
-        r_loc = r_loc + _fold(
-            st["j1_to_links"],
-            jnp.asarray(ax_par, jnp.float32)[..., None] * pris[:, None, :])
+        u = (jnp.asarray(model.j1_t, jnp.float32)[..., None] * scale
+             + jnp.asarray(ax_par, jnp.float32)[..., None]
+             * pris[:, None, :])                          # (nj, 3, N)
+        # Joint-chain compose (phantom-collapsed multi-dof joints,
+        # model.py _collapse_phantoms): round p folds every chain dof at
+        # position p onto its predecessor's accumulated (G, u); chains
+        # are <= 3 long, and models without phantom links skip this loop
+        # entirely. After the loop G[i]/u[i] carry dof i's full rotation
+        # / joint-origin offset expressed in the OWNING link's parent
+        # frame.
+        for p in range(1, model.j1_chain_maxpos + 1):
+            Gp = _fold(st["j1_prev_gather"], G)
+            up = _fold(st["j1_prev_gather"], u)
+            m_p = jnp.asarray(st["chain_masks"][p])
+            G = jnp.where(m_p[:, None, None, None] > 0, _mm(Gp, G), G)
+            u = jnp.where(m_p[:, None, None] > 0, up + _mv(Gp, u), u)
+        R_loc = R_loc + _fold(st["j1_to_links"], G)
+        r_loc = r_loc + _fold(st["j1_to_links"], u)
     if model.free_list:
         R_free = jnp.concatenate(
             [_quat_to_rot_rows(qT[qi + 3:qi + 7])[None]
@@ -375,11 +410,21 @@ def forward_kinematics(model: ArticulatedModel, q, v_dof,
     S_o = jnp.zeros((nv, 6, n))
     if model.j1_links.size:
         nj = len(model.j1_links)
+        # Axis and joint anchor of every chain dof, via the OWNING
+        # link's parent pose (padded row nb = identity virtual root):
+        # world axis = R_par (G a) (R(a,q) a = a keeps this exact for
+        # revolute; prismatic G carries no own rotation), anchor =
+        # p_par + R_par u. For single-dof joints this equals the old
+        # own-link form R_w[link] a / p_w[link] exactly.
         axes = jnp.broadcast_to(
             jnp.asarray(model.j1_axis, jnp.float32)[..., None],
             (nj, 3, n))
-        aw = _mv(R_w[model.j1_links], axes)               # (nj, 3, N)
-        mom = _cross(rel[model.j1_links], aw)
+        A = _mv(G, axes)                                  # (nj, 3, N)
+        R_par = _fold(st["j1_par_gather"], Rc)            # (nj, 3, 3, N)
+        p_par = _fold(st["j1_par_gather"], pc)            # (nj, 3, N)
+        aw = _mv(R_par, A)
+        anchor = p_par + _mv(R_par, u)
+        mom = _cross(anchor - o[None], aw)
         rev = jnp.asarray(model.j1_rev)[:, None, None]
         rows = jnp.concatenate([aw * rev,
                                 mom * rev + aw * (1.0 - rev)], 1)
@@ -545,10 +590,12 @@ def _bias_from_i10(model: ArticulatedModel, kin: Kinematics, I10,
                    params: DynParams, f_ext_world=None):
     """RNEA bias (qdd = 0) like ``_bias_from_plucker`` but on packed
     inertias. Returns (nv, N)."""
-    st = _structure(model)
     nv, nb = model.nv, model.nb
     n = kin.V_o.shape[-1]
-    Vd = _fold(st["dof_from_link"], _c16(kin.V_o), out_dtype=jnp.float32)
+    # Velocity of each dof's OWN joint frame (its subspace is fixed
+    # there): a per-dof ancestry fold over Sv_o — exact through phantom
+    # collapse, where intermediate chain links have no V_o row.
+    Vd = _fold(model.dof_vd_mask, _c16(kin.Sv_o), out_dtype=jnp.float32)
     Sv = kin.Sv_o
     dSa = _cross(Vd[:, :3], Sv[:, :3])
     dSl = _cross(Vd[:, :3], Sv[:, 3:]) + _cross(Vd[:, 3:], Sv[:, :3])
@@ -610,10 +657,9 @@ def _bias_from_plucker(model: ArticulatedModel, kin: Kinematics, I_o,
     S_dot = V_child x S uniformly — each body contributes
     f_b = I a_b + V x* (I V) - f_ext, and C[m] = S_m . sum_b anc[b, m] f_b.
     Returns (nv, N)."""
-    st = _structure(model)
     nv, nb = model.nv, model.nb
     n = kin.V_o.shape[-1]
-    Vd = _fold(st["dof_from_link"], kin.V_o)
+    Vd = _fold(model.dof_vd_mask, kin.Sv_o)
     Sv = kin.Sv_o
     dSa = _cross(Vd[:, :3], Sv[:, :3])
     dSl = _cross(Vd[:, :3], Sv[:, 3:]) + _cross(Vd[:, 3:], Sv[:, :3])

@@ -14,6 +14,8 @@ penalty contacts (see contact.py).
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
@@ -60,6 +62,17 @@ class LinkSpec:
     # integrator bounded under extreme DR (e.g. 0.01x link masses give
     # huge qdd; without a clamp velocities diverge exponentially to NaN).
     max_velocity: float = 100.0
+    # Marks a near-massless connector link that only exists to realize
+    # one dof of a multi-dof joint (the engine is one joint per link).
+    # Phantom links are COLLAPSED out of the link-axis tensors at model
+    # build: their dofs become a rotation CHAIN on the nearest real
+    # descendant link, so FK/composite-inertia/bias folds stream ~40%
+    # fewer link rows on Humanoid and the tree depth (and with it the
+    # pointer-jumping round count) drops. The dof/q/v layout is
+    # unchanged. Requires: revolute/prismatic, exactly one child, no
+    # geoms attached. Mass/inertia are folded into the chain's end link
+    # (approximation bounded by the phantom mass itself, 0.01 kg here).
+    phantom: bool = False
 
 
 class ArticulatedModel:
@@ -205,6 +218,150 @@ class ArticulatedModel:
             self.joint_rot.transpose(0, 2, 1)).astype(np.float32)
         self.parent_pad = np.asarray(
             [p if p >= 0 else nb for p in self.parent], np.int32)
+        # Per-dof Vd mask: Vd[i] = sum_m dof_vd_mask[i, m] S_m v_m is the
+        # spatial velocity of dof i's OWN (possibly phantom) link — the
+        # frame its joint subspace is fixed in, which Sdot = V x S needs.
+        # Built from the ORIGINAL (pre-collapse) ancestry so it stays
+        # exact when phantom links are collapsed away below.
+        self.dof_vd_mask = self.anc_dof[dof_link].astype(np.float32)
+        do_collapse = any(l.phantom for l in self.links) and \
+            os.environ.get("BSIM_COLLAPSE", "1") != "0"
+        self._build_dof_chains(do_collapse)
+        if do_collapse:
+            self._collapse_phantoms()
+        else:
+            self.collapsed = False
+
+    def _build_dof_chains(self, collapsing: bool):
+        """Per-dof joint-frame tables for the FK's chain-compose stage
+        (dynamics.forward_kinematics). Chains only form when phantom
+        links are being collapsed; otherwise (including BSIM_COLLAPSE=0)
+        every chain has length 1 and the tables reduce to the plain
+        one-joint-per-link case."""
+        j1 = self.j1_links
+        nj = j1.size
+        is_ph = np.array([l.phantom if collapsing else False
+                          for l in self.links], bool)
+        row_of = {int(i): r for r, i in enumerate(j1)}
+        self.j1_E = self.joint_rot_T[j1].astype(np.float32) \
+            if nj else np.zeros((0, 3, 3), np.float32)
+        self.j1_t = self.joint_pos[j1].astype(np.float32) \
+            if nj else np.zeros((0, 3), np.float32)
+        pos = np.zeros(nj, np.int32)
+        prev = np.full(nj, -1, np.int32)
+        for r, i in enumerate(j1):
+            p = self.parent[i]
+            if p >= 0 and is_ph[p]:
+                pos[r] = pos[row_of[p]] + 1
+                prev[r] = row_of[p]
+        self.j1_chain_pos = pos
+        self.j1_prev = prev
+        self.j1_chain_maxpos = int(pos.max()) if nj else 0
+        # Last dof of each chain (scatters the composed product to its
+        # owning link row): exactly the non-phantom 1-dof links.
+        self.j1_last = ~is_ph[j1] if nj else np.zeros(0, bool)
+
+    def _collapse_phantoms(self):
+        """Rewrites the LINK-AXIS tables so phantom links disappear:
+        their dofs stay (same q/v layout, same dof tree, same LTDL
+        elimination order) but attach to the nearest real descendant as
+        a joint chain. ``links``/``q_off``/``v_off``/``joint_types`` and
+        every per-dof array keep the ORIGINAL indexing; ``nb``,
+        ``parent``, ``depth``, ``anc_*``, ``mass0/com0/inertia0``,
+        ``joint_pos/joint_rot(_T)``, ``body_names``, ``link_index``,
+        ``geoms`` and ``j1_links``/``dof_link`` switch to the collapsed
+        (effective) link set. Disable with BSIM_COLLAPSE=0."""
+        links, parent = self.links, self.parent
+        nb0 = len(links)
+        children = [[] for _ in range(nb0)]
+        for i, p in enumerate(parent):
+            if p >= 0:
+                children[p].append(i)
+        for i, l in enumerate(links):
+            if not l.phantom:
+                continue
+            if l.joint_type not in ("revolute", "prismatic"):
+                raise ValueError(f"phantom link {l.name} must be 1-dof")
+            if len(children[i]) != 1:
+                raise ValueError(f"phantom link {l.name} needs exactly "
+                                 f"one child, has {len(children[i])}")
+            if any(g.link == i for g in self.geoms):
+                raise ValueError(f"phantom link {l.name} carries a geom")
+        eff = np.full(nb0, -1, np.int64)   # orig link -> orig target link
+        def target(i):
+            while links[i].phantom:
+                i = children[i][0]
+            return i
+        for i in range(nb0):
+            eff[i] = target(i)
+        for i, l in enumerate(links):
+            if l.phantom and JOINT_DOF[links[eff[i]].joint_type] != 1:
+                raise ValueError(
+                    f"phantom chain above {links[eff[i]].name} must end "
+                    "in a revolute/prismatic link")
+        real = [i for i in range(nb0) if not links[i].phantom]
+        new_ix = {i: r for r, i in enumerate(real)}
+        nb = len(real)
+        # Effective parent: first non-phantom strict ancestor.
+        par_eff = []
+        for i in real:
+            p = parent[i]
+            while p >= 0 and links[p].phantom:
+                p = parent[p]
+            par_eff.append(new_ix[p] if p >= 0 else -1)
+        # Fold phantom mass/inertia into the chain's end link (COM
+        # mass-weighted, inertia diagonals summed; the chain shares one
+        # origin up to the collapsed translations, so the error is
+        # bounded by the phantom mass/inertia themselves).
+        mass = self.mass0.copy()
+        com_m = self.com0 * self.mass0[:, None]
+        inert = self.inertia0.copy()
+        for i in range(nb0):
+            if links[i].phantom:
+                t = eff[i]
+                mass[t] += self.mass0[i]
+                com_m[t] += com_m[i]
+                inert[t] += self.inertia0[i]
+        self.mass0 = mass[real]
+        self.com0 = com_m[real] / np.maximum(self.mass0[:, None], 1e-12)
+        self.inertia0 = inert[real]
+        # Link-axis static transforms: 1-dof-owning rows route their
+        # translation through the per-dof chain tables (j1_t), so their
+        # base joint_pos must be zero; fixed/free rows keep theirs.
+        jpos = self.joint_pos[real].copy()
+        for r, i in enumerate(real):
+            if JOINT_DOF[links[i].joint_type] == 1:
+                jpos[r] = 0.0
+        self.joint_pos = jpos
+        self.joint_rot = self.joint_rot[real]
+        self.joint_rot_T = np.ascontiguousarray(
+            self.joint_rot.transpose(0, 2, 1)).astype(np.float32)
+        # Topology tables over effective links.
+        self.nb = nb
+        self.parent = par_eff
+        depth = np.zeros(nb, np.int64)
+        for r in range(nb):
+            depth[r] = 0 if par_eff[r] < 0 else depth[par_eff[r]] + 1
+        self.depth = depth
+        self.levels = [np.flatnonzero(depth == d).astype(np.int32)
+                       for d in range(int(depth.max()) + 1)]
+        self.parent_pad = np.asarray(
+            [p if p >= 0 else nb for p in par_eff], np.int32)
+        self.anc_bb = self.anc_bb[np.ix_(real, real)]
+        self.anc_dof = self.anc_dof[real]
+        self.dof_link = np.asarray(
+            [new_ix[int(eff[i])] for i in self.dof_link], np.int32)
+        self.j1_links = np.asarray(
+            [new_ix[int(eff[i])] for i in self.j1_links], np.int32)
+        self.free_list = [(new_ix[i], qi, vi)
+                          for (i, qi, vi) in self.free_list]
+        self.geoms = [Geom(link=new_ix[g.link], kind=g.kind, size=g.size,
+                           offset=g.offset, axis=g.axis)
+                      for g in self.geoms]
+        self.body_names = [links[i].name for i in real]
+        self.link_index = {l.name: new_ix[int(eff[i])]
+                           for i, l in enumerate(links)}
+        self.collapsed = True
 
     def neutral_q(self) -> np.ndarray:
         """q with identity free-joint quaternions and zero joint angles."""

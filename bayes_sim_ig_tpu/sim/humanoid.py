@@ -44,7 +44,15 @@ from .render2d import draw_line
 from .task import Task
 
 START_Z = 1.34
-PHANTOM = dict(mass=0.01, inertia=(1e-4, 1e-4, 1e-4))
+# phantom=True collapses these connector links out of the engine's
+# link-axis tensors at model build (physics/model.py): their dofs become
+# joint chains on the real end links (16 effective bodies, tree depth
+# 9 -> 5), which is where Humanoid's round-4 throughput came from. Mass
+# is exactly zero: the old 0.01 kg was a conditioning hack the collapse
+# obsoletes (every chain dof's composite inertia holds the real subtree),
+# and zero makes collapsed/uncollapsed dynamics bit-equivalent
+# (tests/test_physics.py phantom-collapse gate).
+PHANTOM = dict(mass=0.0, inertia=(0.0, 0.0, 0.0), phantom=True)
 
 REAL_BODIES = ["torso", "head", "lower_waist", "pelvis",
                "right_thigh", "right_shin", "right_foot",
@@ -70,13 +78,14 @@ def build_humanoid_model() -> ArticulatedModel:
 
     def add(name, parent_name, jt, axis=(0, 0, 1), pos=(0, 0, 0),
             mass=0.01, com=(0, 0, 0), inertia=(1e-4,) * 3, lo=-1e9,
-            hi=1e9, damping=1.0, stiffness=1.0, geom=None):
+            hi=1e9, damping=1.0, stiffness=1.0, geom=None,
+            phantom=False):
         i = len(links)
         links.append(LinkSpec(
             name, parent=idx[parent_name], joint_type=jt,
             joint_axis=axis, joint_pos=pos, mass=mass, com=com,
             inertia=inertia, limit_lower=lo, limit_upper=hi,
-            damping=damping, stiffness=stiffness))
+            damping=damping, stiffness=stiffness, phantom=phantom))
         idx[name] = i
         if geom is not None:
             geoms.append(Geom(link=i, **geom))
@@ -188,10 +197,12 @@ class Humanoid(Task):
         self.model = build_humanoid_model()
         m = self.model
         # Actuated (revolute) dofs in tree order.
-        self._act_links = [i for i in range(m.nb)
-                           if m.joint_types[i] == "revolute"]
-        self._act_v_idx = np.array([m.v_off[i] for i in self._act_links])
-        self._act_q_idx = np.array([m.q_off[i] for i in self._act_links])
+        # All 1-dof joints are the 21 actuated revolute dofs; j1 arrays
+        # are per-DOF in tree order, so they survive the phantom-link
+        # collapse (which reindexes LINKS but never dofs).
+        self._act_v_idx = np.asarray(m.j1_v)
+        self._act_q_idx = np.asarray(m.j1_q)
+        self._act_links = list(range(len(self._act_v_idx)))
         assert len(self._act_links) == 21
         # Gear per actuated dof (tree order interleaves phantoms; map by
         # walking the same order the links were added).

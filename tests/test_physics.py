@@ -922,3 +922,75 @@ class TestImpulseCompactEquivalence:
                                        rtol=2e-4, atol=2e-5)
         # The solve did something (contacts bind).
         assert np.abs(outs["0"][0] - v).max() > 1e-3
+
+
+class TestPhantomCollapse:
+    """Phantom-link chains (Humanoid's multi-dof joints) collapse into
+    the real end link at model build (model.py _collapse_phantoms):
+    link-axis tensors drop from 25 to 16 rows while q/v layout, dof
+    tree and dynamics stay exact (phantom mass is zero)."""
+
+    def _models(self, monkeypatch):
+        from bayes_sim_ig_tpu.sim.humanoid import build_humanoid_model
+        monkeypatch.setenv("BSIM_COLLAPSE", "0")
+        m0 = build_humanoid_model()
+        monkeypatch.setenv("BSIM_COLLAPSE", "1")
+        m1 = build_humanoid_model()
+        return m0, m1
+
+    def test_topology(self, monkeypatch):
+        m0, m1 = self._models(monkeypatch)
+        assert not m0.collapsed and m1.collapsed
+        assert (m0.nb, m1.nb) == (25, 16)
+        assert m0.nv == m1.nv and m0.nq == m1.nq
+        assert int(m0.depth.max()) == 9 and int(m1.depth.max()) == 5
+        # dof layout untouched: same q/v indices, limits, dof tree.
+        np.testing.assert_array_equal(m0.j1_q, m1.j1_q)
+        np.testing.assert_array_equal(m0.j1_v, m1.j1_v)
+        np.testing.assert_array_equal(m0.j1_lo, m1.j1_lo)
+        np.testing.assert_array_equal(m0.dof_parent, m1.dof_parent)
+        np.testing.assert_array_equal(m0.crba_mask, m1.crba_mask)
+        # chains of up to 3 dofs formed on the collapsed model only.
+        assert m0.j1_chain_maxpos == 0 and m1.j1_chain_maxpos == 2
+        # every original body name resolves (phantoms to their target).
+        assert m1.link_index["p_right_hip_x"] == \
+            m1.link_index["right_thigh"]
+        assert len(m1.body_names) == 16
+
+    def test_dynamics_equivalent(self, monkeypatch):
+        monkeypatch.setenv("BSIM_PHYS_BF16", "0")
+        m0, m1 = self._models(monkeypatch)
+        real = [i for i, l in enumerate(m0.links) if not l.phantom]
+        rng = np.random.default_rng(3)
+        N = 8
+        q = np.zeros((N, m0.nq), np.float32)
+        q[:, :3] = rng.normal(0, 0.3, (N, 3))
+        quat = rng.normal(0, 1, (N, 4))
+        q[:, 3:7] = quat / np.linalg.norm(quat, axis=1, keepdims=True)
+        q[:, 7:] = rng.normal(0, 0.6, (N, m0.nq - 7))
+        v = rng.normal(0, 1.0, (N, m0.nv)).astype(np.float32)
+        tau = rng.normal(0, 5.0, (N, m0.nv)).astype(np.float32)
+
+        def run(m):
+            p = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                           (N,) + jnp.asarray(a).shape),
+                DynParams.defaults(m))
+            kin = forward_kinematics(m, jnp.asarray(q), jnp.asarray(v), p)
+            qdd = forward_dynamics(m, jnp.asarray(q), jnp.asarray(v),
+                                   jnp.asarray(tau), p)
+            qdd = qdd[0] if isinstance(qdd, tuple) else qdd
+            return kin, np.asarray(qdd)
+
+        k0, qdd0 = run(m0)
+        k1, qdd1 = run(m1)
+        np.testing.assert_allclose(np.asarray(k0.p_w)[real],
+                                   np.asarray(k1.p_w), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(k0.R_w)[real],
+                                   np.asarray(k1.R_w), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(k0.S_o),
+                                   np.asarray(k1.S_o), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(k0.v)[real],
+                                   np.asarray(k1.v), atol=2e-5)
+        scale = np.abs(qdd0).max()
+        assert np.abs(qdd0 - qdd1).max() / scale < 5e-4
