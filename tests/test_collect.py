@@ -139,8 +139,22 @@ class TestPolicies:
                 changed += 1
         assert 5 <= changed <= 50  # ~10% of steps fully randomized
 
+    def test_grasp_excitation(self):
+        """policy_grasp: flexion/opposition dofs pinned near max, wrist/
+        abduction dofs jittering near neutral, everything in [-1, 1]."""
+        from bayes_sim_ig_tpu.utils.collect import policy_grasp, _GRASP_FLEX
+        act = jnp.zeros((64, 20))
+        out = np.asarray(policy_grasp(act, jax.random.PRNGKey(3)))
+        assert (out >= -1.0).all() and (out <= 1.0).all()
+        flex = out[:, list(_GRASP_FLEX)]
+        rest = np.delete(out, list(_GRASP_FLEX), axis=1)
+        assert (flex >= 0.7).all()            # sustained squeeze
+        assert (np.abs(rest) <= 0.3).all()    # wrist stays near neutral
+        assert np.abs(rest).std() > 0.05      # but genuinely jitters
+
     def test_registry(self):
         assert get_collect_policy("policy_ones") is policy_ones
+        assert get_collect_policy("policy_grasp") is not None
         assert get_collect_policy(None) is policy_rl
         with pytest.raises(KeyError):
             get_collect_policy("policy_nope")
