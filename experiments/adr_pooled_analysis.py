@@ -24,7 +24,7 @@ from tensorboard.backend.event_processing.event_accumulator import (
 
 
 def series(run_dir):
-    d = glob.glob(run_dir.rstrip("/") + "/Shadow*")[0]
+    d = glob.glob(run_dir.rstrip("/") + "/Shadow*/bsim")[0]
     ea = EventAccumulator(d)
     ea.Reload()
     return np.array(
