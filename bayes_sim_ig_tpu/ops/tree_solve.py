@@ -73,6 +73,57 @@ def ltdl_factor(chains: Sequence[Sequence[int]],
     return H, D
 
 
+def ltdl_factor_ll(chains: Sequence[Sequence[int]],
+                   M: Dict[Tuple[int, int], jnp.ndarray]):
+    """Left-looking column-slab form of ``ltdl_factor`` — same factor,
+    same (H, D) result contract, restructured for op-granularity-bound
+    models (long chains, e.g. Humanoid's depth-15 dof tree).
+
+    The right-looking loop above updates every affected pair the moment a
+    dof is eliminated: each update is its own (N,)-lane fusion, and on
+    deep chains that unrolls into hundreds of sub-microsecond ops whose
+    fixed per-op cost dominates (the round-4 Humanoid trace: 290 us of a
+    713 us step in tree_solve lines 64/67 across ~300 fusions). Here each
+    dof's factor column is instead assembled ONCE, when the dof is
+    eliminated, from the already-final columns of its descendants:
+
+        col(k) = M[k, anc-or-self(k)]
+                 - sum_{c in desc(k)} a_c[t] * v_c[t:]        (t = k's
+                   position in c's chain; v_c = c's final column, a_c =
+                   v_c[1:] / pivot_c)
+
+    — one stacked multiply-reduce over the descendant axis per dof
+    (~4 fused ops) instead of O(depth^2) scalar-row ops. Chain suffix
+    structure makes the gathered slices static: anc(k) == chains[c][t+1:]
+    whenever k == chains[c][t]. Summation order differs from the
+    right-looking form, so results agree to f32 roundoff (exact in f64;
+    tested in tests/test_ops.py)."""
+    nv = len(chains)
+    # contributors[k] = [(c, t)] with k == chains[c][t]
+    contributors: List[List[Tuple[int, int]]] = [[] for _ in range(nv)]
+    for c in range(nv):
+        for t, k in enumerate(chains[c]):
+            contributors[k].append((c, t))
+    v: List[jnp.ndarray] = [None] * nv   # final columns, (1+d_k, N)
+    a: List[jnp.ndarray] = [None] * nv   # v[1:]/pivot, (d_k, N)
+    for k in range(nv - 1, -1, -1):
+        col = jnp.stack([M[(k, j)] for j in (k, *chains[k])])
+        if contributors[k]:
+            w = jnp.stack([a[c][t] for (c, t) in contributors[k]])
+            src = jnp.stack([v[c][1 + t:] for (c, t) in contributors[k]])
+            col = col - (w[:, None] * src).sum(0)
+        v[k] = col
+        if chains[k]:
+            a[k] = col[1:] / col[0]
+    H: Dict[Tuple[int, int], jnp.ndarray] = {}
+    for k in range(nv):
+        H[(k, k)] = v[k][0]
+        for t, i in enumerate(chains[k]):
+            H[(k, i)] = a[k][t]
+    D = [jnp.where(v[k][0] > 0.0, v[k][0], jnp.nan) for k in range(nv)]
+    return H, D
+
+
 def ltdl_substitute(chains: Sequence[Sequence[int]], factor,
                     b_rows: Sequence[jnp.ndarray]):
     """Solves (L^T D L) x = b given an ``ltdl_factor`` result:

@@ -69,7 +69,8 @@ from .model import ArticulatedModel, DynParams
 from .spatial import hat
 from ..ops.spd_kernel import (spd_factor_lanes, spd_solve_lanes,
                               spd_substitute_lanes)
-from ..ops.tree_solve import ancestor_pairs, ltdl_factor, ltdl_substitute
+from ..ops.tree_solve import (ancestor_pairs, ltdl_factor, ltdl_factor_ll,
+                              ltdl_substitute)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -893,7 +894,19 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
                 M[(k, i)] = sum(F[k, c] * S[i, c] for c in range(6))
             for k in range(model.nv):
                 M[(k, k)] = M[(k, k)] + diag_extra[k]
-            factor = ("tree", ltdl_factor(chains, M))
+            # Factorization form: the left-looking column-slab variant
+            # wins when chains are deep (few big fused ops beat many
+            # sub-microsecond per-pair ops); per-pair right-looking wins
+            # on shallow wide trees (ShadowHand) where slab stacking
+            # overhead exceeds the op-count savings. auto picks by mean
+            # proper-ancestor chain depth (Humanoid ~8.0, ShadowHand
+            # ~3.3; A/B on the v5e: see PARITY.md round-4 solver table).
+            ll_mode = os.environ.get("BSIM_TREE_LL", "auto")
+            mean_depth = sum(len(c) for c in chains) / max(len(chains), 1)
+            use_ll = (ll_mode == "1" or
+                      (ll_mode == "auto" and mean_depth >= 5.0))
+            fac_fn = ltdl_factor_ll if use_ll else ltdl_factor
+            factor = ("tree", fac_fn(chains, M))
         else:
             Ml = sum(F[:, None, c, :] * S[None, :, c, :] for c in range(6))
             Ml = Ml * jnp.asarray(model.crba_mask)[:, :, None]
