@@ -5,58 +5,62 @@ grasp/drctl run pairs for the given seeds, drops each grasp run's
 iteration 0 (that policy trains before any posterior exists, so it is a
 prior-trained sample, not a posterior-trained one), and reports
 per-seed and pooled mean/median plus a one-sided Mann-Whitney U
-(posterior-trained > prior-trained). Reference analogue: the headline
-posterior-vs-prior comparison in /root/reference/README.md:174-188.
+(posterior-trained > prior-trained) with exact tie handling via
+scipy.stats.mannwhitneyu (round-4 ADVICE: the hand-rolled normal
+approximation omitted the tie-correction term in sigma). Reference
+analogue: the headline posterior-vs-prior comparison in
+/root/reference/README.md:174-188.
 
-Usage: python experiments/adr_pooled_analysis.py RUNDIR_GRASP:RUNDIR_CTL ...
+Each series read from TB is also archived as JSON under
+``experiments/data/`` (git-tracked; ``runs/`` is gitignored and did not
+survive the round-4 environment reset), and a ``PAIR`` argument may
+name an archived JSON pair directly, so recorded analyses stay
+reproducible without the multi-hour reruns.
+
+Usage: python experiments/adr_pooled_analysis.py PAIR [PAIR ...]
+  PAIR = RUNDIR_GRASP:RUNDIR_CTL (TB event dirs), or
+         FILE_GRASP.json:FILE_CTL.json (archived series)
 e.g.   python experiments/adr_pooled_analysis.py \
-           runs/shadowhand_grasp_r4:runs/shadowhand_drctl_r4 \
-           runs/shadowhand_grasp_r4s11:runs/shadowhand_drctl_r4s11
+           runs/shadowhand_grasp_s7:runs/shadowhand_drctl_s7 \
+           experiments/data/r5_grasp_s23.json:experiments/data/r5_drctl_s23.json
 """
 import glob
+import json
+import os
 import sys
-from math import erf
 
 import numpy as np
-from tensorboard.backend.event_processing.event_accumulator import (
-    EventAccumulator,
-)
+from scipy.stats import mannwhitneyu
 
 
-def series(run_dir):
-    d = glob.glob(run_dir.rstrip("/") + "/Shadow*/bsim")[0]
+def series(path):
+    """Per-iteration surrogate-real reward means from a TB run dir (also
+    archived to experiments/data/) or an archived JSON file."""
+    if path.endswith(".json"):
+        return np.array(json.load(open(path))["real_rewards_mean"])
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    d = glob.glob(path.rstrip("/") + "/Shadow*/bsim")[0]
     ea = EventAccumulator(d)
     ea.Reload()
-    return np.array(
-        [x.value for x in ea.Scalars("SurrogateReal/real_rewards_mean")]
-    )
+    vals = [x.value for x in ea.Scalars("SurrogateReal/real_rewards_mean")]
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data")
+    os.makedirs(data_dir, exist_ok=True)
+    out = os.path.join(
+        data_dir, os.path.basename(path.rstrip("/")) + ".json")
+    json.dump({"run": path, "tag": "SurrogateReal/real_rewards_mean",
+               "real_rewards_mean": vals}, open(out, "w"))
+    return np.array(vals)
 
 
 def mwu_one_sided(a, b):
-    """One-sided Mann-Whitney U: H1 = a stochastically > b.
-
-    Normal approximation with midrank tie handling and continuity
-    correction (fine at the n~20-40 per arm these runs produce).
-    """
-    n1, n2 = len(a), len(b)
-    allv = np.concatenate([a, b])
-    ranks = np.empty(len(allv))
-    order = np.argsort(allv)
-    sv = allv[order]
-    i = 0
-    while i < len(sv):
-        j = i
-        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
-            j += 1
-        ranks[order[i : j + 1]] = 0.5 * (i + j) + 1
-        i = j + 1
-    r1 = ranks[:n1].sum()
-    u1 = r1 - n1 * (n1 + 1) / 2
-    mu = n1 * n2 / 2
-    sigma = np.sqrt(n1 * n2 * (n1 + n2 + 1) / 12)
-    z = (u1 - mu - 0.5) / sigma
-    p = 1 - 0.5 * (1 + erf(z / np.sqrt(2)))
-    return u1, p
+    """One-sided Mann-Whitney U, H1 = a stochastically > b, with
+    midranks AND tie correction (scipy's implementation)."""
+    res = mannwhitneyu(a, b, alternative="greater")
+    return res.statistic, res.pvalue
 
 
 def main(pairs):
@@ -71,7 +75,7 @@ def main(pairs):
         print(
             f"{gdir}: grasp n={len(g)} mean={g.mean():.1f} "
             f"med={np.median(g):.1f} | ctl n={len(c)} mean={c.mean():.1f} "
-            f"med={np.median(c):.1f} | MWU one-sided p={p:.3f}"
+            f"med={np.median(c):.1f} | MWU one-sided p={p:.4f}"
         )
     if len(pairs) > 1:
         g = np.concatenate(pooled_g)
@@ -80,7 +84,7 @@ def main(pairs):
         print(
             f"pooled: grasp n={len(g)} mean={g.mean():.1f} "
             f"med={np.median(g):.1f} | ctl n={len(c)} mean={c.mean():.1f} "
-            f"med={np.median(c):.1f} | MWU one-sided p={p:.3f}"
+            f"med={np.median(c):.1f} | MWU one-sided p={p:.4f}"
         )
 
 
