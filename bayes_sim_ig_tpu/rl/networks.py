@@ -28,8 +28,14 @@ def _orthogonal_init(key, fan_in, fan_out, gain, dtype=jnp.float32):
 def init_actor_critic(key, obs_dim: int, act_dim: int,
                       pi_hid_sizes: Sequence[int],
                       vf_hid_sizes: Sequence[int],
-                      init_noise_std: float = 1.0) -> Dict:
-    """Separate actor and critic MLPs + state-independent log-std."""
+                      init_noise_std: float = 1.0,
+                      state_dim: int = 0) -> Dict:
+    """Separate actor and critic MLPs + state-independent log-std.
+
+    ``state_dim`` > 0 gives the critic a different input width than the
+    actor — the asymmetric actor-critic layout where the critic reads
+    the privileged simulator state (reference `asymmetric_observations`;
+    collect_trajectories.py:47-50)."""
     n_pi, n_vf = len(pi_hid_sizes), len(vf_hid_sizes)
     keys = jax.random.split(key, n_pi + n_vf + 2)
     actor, last = [], obs_dim
@@ -37,7 +43,7 @@ def init_actor_critic(key, obs_dim: int, act_dim: int,
         actor.append(_orthogonal_init(keys[i], last, h, np.sqrt(2.0)))
         last = h
     actor.append(_orthogonal_init(keys[n_pi], last, act_dim, 0.01))
-    critic, last = [], obs_dim
+    critic, last = [], (state_dim if state_dim > 0 else obs_dim)
     for i, h in enumerate(vf_hid_sizes):
         critic.append(_orthogonal_init(keys[n_pi + 1 + i], last, h,
                                        np.sqrt(2.0)))

@@ -101,8 +101,16 @@ class PPO:
             seed = int(cfg_train.get("seed", 0))
         self._key = jax.random.PRNGKey(seed + 12345)
         self._key, init_key = jax.random.split(self._key)
+        # Asymmetric actor-critic (reference `asymmetric_observations`,
+        # cfg/shadow_hand.yaml:43): the critic reads the privileged
+        # simulator state (task.privileged_state / vec_env.get_state),
+        # the actor only the DR-noised observations.
+        self.asymmetric = bool(getattr(self.task,
+                                       "asymmetric_observations", False))
+        state_dim = (int(getattr(self.task, "state_dim", 0))
+                     if self.asymmetric else 0)
         self._net_spec = (self.task.obs_dim, self.task.act_dim, pi_hid,
-                          vf_hid, init_noise_std)
+                          vf_hid, init_noise_std, state_dim)
         params = networks.init_actor_critic(init_key, *self._net_spec)
         # The lr is folded in manually after opt.update (updates below are
         # the negated Adam direction), so the KL-adaptive schedule can change
@@ -171,6 +179,7 @@ class PPO:
         nminibatches = self.nminibatches
         desired_kl = self.desired_kl
         adaptive = self.schedule == "adaptive" and desired_kl is not None
+        asym = self.asymmetric  # static: trace-time branch only
 
         def rollout(params, distr, env_state, obs, key):
             def body(carry, step_key):
@@ -178,31 +187,46 @@ class PPO:
                 k_act, k_env = jax.random.split(step_key)
                 act, logp = networks.sample_action(params, obs, k_act,
                                                    activation)
-                val = networks.value(params, obs, activation)
+                # Asymmetric: the critic values the PRIVILEGED state of
+                # the env the obs came from; symmetric path banks
+                # nothing extra (identical HLO to before).
+                cin = (task.privileged_state(env_state.task_state,
+                                             env_state.params)
+                       if asym else obs)
+                val = networks.value(params, cin, activation)
                 env_state, obs2, rew, done = env_step(task, distr,
                                                       env_state, act)
                 out = (obs, act, logp, val, rew,
                        done.astype(jnp.float32))
+                if asym:
+                    out = out + (cin,)
                 return (env_state, obs2), out
 
             keys = jax.random.split(key, nsteps)
             (env_state, obs), traj = jax.lax.scan(body, (env_state, obs),
                                                   keys)
-            last_val = networks.value(params, obs, activation)
+            last_cin = (task.privileged_state(env_state.task_state,
+                                              env_state.params)
+                        if asym else obs)
+            last_val = networks.value(params, last_cin, activation)
             return env_state, obs, traj, last_val
 
         def compute_gae(vals, rews, dones, last_val):
             return gae_advantages(vals, rews, dones, last_val, gamma, lam)
 
         def loss_fn(params, batch):
-            obs, act, logp_old, val_old, adv, ret = batch
+            if asym:
+                obs, act, logp_old, val_old, adv, ret, cin = batch
+            else:
+                obs, act, logp_old, val_old, adv, ret = batch
+                cin = obs
             mean = networks.policy_mean(params, obs, activation)
             logp = networks.gaussian_logp(act, mean, params["log_std"])
             ratio = jnp.exp(logp - logp_old)
             pg1 = -adv * ratio
             pg2 = -adv * jnp.clip(ratio, 1.0 - cliprange, 1.0 + cliprange)
             pg_loss = jnp.maximum(pg1, pg2).mean()
-            v = networks.value(params, obs, activation)
+            v = networks.value(params, cin, activation)
             v_clipped = val_old + jnp.clip(v - val_old, -cliprange,
                                            cliprange)
             vf_loss = 0.5 * jnp.maximum((v - ret) ** 2,
@@ -214,7 +238,10 @@ class PPO:
 
         def update_from_traj(train_state: PPOTrainState, traj, last_val,
                              k_perm):
-            obs_t, act_t, logp_t, val_t, rew_t, done_t = traj
+            if asym:
+                obs_t, act_t, logp_t, val_t, rew_t, done_t, cin_t = traj
+            else:
+                obs_t, act_t, logp_t, val_t, rew_t, done_t = traj
             advs = compute_gae(val_t, rew_t, done_t, last_val)
             rets = advs + val_t
             n = nsteps * task.num_envs
@@ -227,6 +254,8 @@ class PPO:
                         / (adv_flat.std() + 1e-8))
             data = (flat(obs_t), flat(act_t), flat(logp_t), flat(val_t),
                     adv_flat, flat(rets))
+            if asym:
+                data = data + (flat(cin_t),)
 
             def epoch(carry, ep_key):
                 params, opt_state = carry

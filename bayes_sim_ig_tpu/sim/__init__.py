@@ -43,6 +43,23 @@ def make_env(task_name: str, cfg: dict, seed: int = 0) -> VecEnv:
         raise KeyError(f"Unknown task '{task_name}'. "
                        f"Available: {available_tasks()}")
     task = _TASK_REGISTRY[task_name](cfg)
+    # Asymmetric actor-critic switch (reference env-config key,
+    # cfg/shadow_hand.yaml:43): the PPO critic consumes
+    # task.privileged_state instead of the DR-noised observations.
+    task.asymmetric_observations = bool(
+        cfg.get("env", {}).get("asymmetric_observations", False))
+    if task.asymmetric_observations:
+        # state_dim from abstract shapes only (jax.eval_shape traces
+        # init_state without running it).
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        params = jax.ShapeDtypeStruct(
+            (task.num_envs, len(task.params_spec.lows)), jnp.float32)
+        st = jax.eval_shape(task.init_state,
+                            jax.ShapeDtypeStruct((2,), jnp.uint32), params)
+        task.state_dim = int(sum(np.prod(l.shape[1:])
+                                 for l in jax.tree_util.tree_leaves(st)))
     return VecEnv(task, seed=seed)
 
 

@@ -57,6 +57,14 @@ class Task:
     # IG tasks reward the post-step state (post_physics_step semantics);
     # Pendulum overrides to False for the classic gym pre-step timing.
     reward_post_step: bool = True
+    # Asymmetric actor-critic (the reference's `asymmetric_observations`
+    # env-config key, /root/reference/bayes_sim_ig/cfg/shadow_hand.yaml:43;
+    # surface used at collect_trajectories.py:47-50): when True the PPO
+    # CRITIC consumes `privileged_state` — the noise-free simulator truth —
+    # while the actor sees only the (DR-noised, clipped) observations.
+    # Set from cfg by make_env; `state_dim` is computed there too.
+    asymmetric_observations: bool = False
+    state_dim: int = 0
 
     def setup_noise(self, randomization_params: dict):
         """Parses optional 'observations'/'actions' noise subtrees
@@ -95,6 +103,19 @@ class Task:
                 height: int = 200, width: int = 200):
         """Optional single-env frame for TensorBoard videos."""
         return None
+
+    def privileged_state(self, task_state, params) -> jnp.ndarray:
+        """(N, state_dim) privileged state for the asymmetric critic:
+        the full noise-free simulator state, flattened per env (IG's
+        analogue is the task's `states_buf`, exposed as
+        `vec_env.get_state()`). Pure over the state pytree, so it is
+        usable inside jitted rollout bodies. Tasks may override with a
+        curated layout; the default is every state leaf, which strictly
+        dominates any observation the task derives from it."""
+        n = state_batch_size(task_state)
+        leaves = jax.tree_util.tree_leaves(task_state)
+        return jnp.concatenate(
+            [l.reshape(n, -1).astype(jnp.float32) for l in leaves], axis=1)
 
 
 def state_batch_size(state) -> int:
@@ -307,10 +328,10 @@ class VecEnv:
     def get_state(self):
         """Privileged full state for asymmetric actor-critic policies —
         the reference surface ``ppo.vec_env.get_state()`` passed to
-        ``actor_critic.act(obs, states)`` when the critic sees more than
-        the actor (collect_trajectories.py:47-50; no reference config
-        exercises it). Returns the per-env task state flattened to
-        (num_envs, state_dim)."""
-        leaves = jax.tree_util.tree_leaves(self.state.task_state)
-        n = self.num_envs
-        return jnp.concatenate([l.reshape(n, -1) for l in leaves], axis=1)
+        ``actor_critic.act(obs, states)`` (collect_trajectories.py:47-50).
+        Enabled by the env-config key ``asymmetric_observations``
+        (reference cfg/shadow_hand.yaml:43); the PPO critic consumes the
+        same `task.privileged_state` inside its jitted rollout
+        (rl/ppo.py). Returns (num_envs, state_dim)."""
+        return self.task.privileged_state(self.state.task_state,
+                                          self.state.params)

@@ -143,3 +143,40 @@ def test_ppo_reinit_fresh_policy_same_programs():
                                               ppo.train_state.params)))
     assert max(diffs) > 1e-4
     ppo.run(1, log_interval=100)  # trains again without error
+
+
+def test_asymmetric_actor_critic(tmp_path):
+    """`asymmetric_observations` (reference cfg/shadow_hand.yaml:43,
+    surface at collect_trajectories.py:47-50): the critic consumes the
+    privileged simulator state, the actor only the observations; one
+    jitted train iteration runs and vec_env.get_state() matches the
+    declared state_dim."""
+    cfg = pendulum_cfg(num_envs=16, episode_len=20)
+    cfg["env"]["asymmetric_observations"] = True
+    env = make_env("Pendulum", cfg)
+    task = env.task
+    assert task.asymmetric_observations
+    # Pendulum task state is (th, thdot) pairs -> 2 dims, obs is 3-dim
+    # [cos th, sin th, thdot]: the two widths genuinely differ.
+    assert task.state_dim > 0 and task.state_dim != task.obs_dim
+    spec = task.params_spec
+    mog = MoG(a=[1.0], ms=[np.ones(2)], Ss=[np.eye(2) * 1e-10])
+    env.set_distr(to_device_distr(mog, spec.lows, spec.highs))
+    cfg_train = {"seed": 0, "learn": {
+        "nsteps": 8, "noptepochs": 2, "nminibatches": 2,
+        "save_interval": 1000}, "policy": {
+        "pi_hid_sizes": [16], "vf_hid_sizes": [16]}}
+    ppo = process_ppo(env, cfg_train, logdir=str(tmp_path))
+    assert ppo.asymmetric
+    # Critic first layer reads the privileged width, actor the obs width.
+    assert ppo.train_state.params["critic"][0]["w"].shape[0] == \
+        task.state_dim
+    assert ppo.train_state.params["actor"][0]["w"].shape[0] == task.obs_dim
+    ppo.run(num_learning_iterations=2, log_interval=1000)
+    # The reference call shape: act(obs, vec_env.get_state()).
+    obs = env.reset()
+    states = env.get_state()
+    assert states.shape == (task.num_envs, task.state_dim)
+    act, _ = ppo.actor_critic.act(obs, states)
+    assert act.shape == (task.num_envs, task.act_dim)
+    assert np.isfinite(np.asarray(act)).all()
