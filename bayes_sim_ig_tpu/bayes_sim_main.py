@@ -117,7 +117,8 @@ def main(argv=None):
                       writer=rl_writer, seed=args.seed)
     if "policyCheckpt" in bs_cfg:
         ppo.load(bs_cfg["policyCheckpt"])
-    collect_policy_fxn = get_collect_policy(bs_cfg["collectPolicy"])
+    collect_policy_fxn = get_collect_policy(bs_cfg["collectPolicy"],
+                                            task=env.task)
     bsim = None
     n_train_trajs = bs_cfg["trainTrajs"]
     all_real_states = None

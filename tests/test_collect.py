@@ -141,23 +141,54 @@ class TestPolicies:
 
     def test_grasp_excitation(self):
         """policy_grasp: flexion/opposition dofs pinned near max, wrist/
-        abduction dofs jittering near neutral, everything in [-1, 1]."""
-        from bayes_sim_ig_tpu.utils.collect import policy_grasp, _GRASP_FLEX
+        abduction dofs jittering near neutral, everything in [-1, 1].
+        The layout comes from the TASK (ShadowHand.grasp_excitation_dims;
+        VERDICT round-4 weak #5), not from collection code."""
+        from bayes_sim_ig_tpu.sim.shadow_hand import ShadowHand
+        from bayes_sim_ig_tpu.utils.collect import policy_grasp
+        dims = ShadowHand.grasp_excitation_dims
         act = jnp.zeros((64, 20))
-        out = np.asarray(policy_grasp(act, jax.random.PRNGKey(3)))
+        out = np.asarray(policy_grasp(act, jax.random.PRNGKey(3), dims))
         assert (out >= -1.0).all() and (out <= 1.0).all()
-        flex = out[:, list(_GRASP_FLEX)]
-        rest = np.delete(out, list(_GRASP_FLEX), axis=1)
+        flex = out[:, list(dims)]
+        rest = np.delete(out, list(dims), axis=1)
         assert (flex >= 0.7).all()            # sustained squeeze
         assert (np.abs(rest) <= 0.3).all()    # wrist stays near neutral
         assert np.abs(rest).std() > 0.05      # but genuinely jitters
 
     def test_registry(self):
         assert get_collect_policy("policy_ones") is policy_ones
-        assert get_collect_policy("policy_grasp") is not None
         assert get_collect_policy(None) is policy_rl
         with pytest.raises(KeyError):
             get_collect_policy("policy_nope")
+
+    def test_grasp_resolution_per_task(self):
+        """policy_grasp resolves against the task: hand tasks get their
+        declared excitation dims; tasks without the attribute (e.g.
+        Cartpole) degrade to policy_ones semantics with a warning
+        rather than pinning arbitrary action dims."""
+        import warnings
+        from bayes_sim_ig_tpu.sim.shadow_hand import ShadowHand
+        from bayes_sim_ig_tpu.utils.collect import policy_ones
+
+        class _HandLike:
+            grasp_excitation_dims = ShadowHand.grasp_excitation_dims
+
+        fn = get_collect_policy("policy_grasp", task=_HandLike())
+        out = np.asarray(fn(jnp.zeros((4, 20)), jax.random.PRNGKey(0)))
+        assert (out[:, list(_HandLike.grasp_excitation_dims)] >= 0.7).all()
+
+        class _CartpoleLike:
+            pass
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            fn = get_collect_policy("policy_grasp", task=_CartpoleLike())
+            assert fn is policy_ones
+            assert any("grasp_excitation_dims" in str(x.message)
+                       for x in w)
+        ones = np.asarray(fn(jnp.zeros((4, 1)), jax.random.PRNGKey(0)))
+        assert (ones == 1.0).all()
 
 
 class TestStorageAndKeystreamGates:
