@@ -39,18 +39,29 @@ def get_global_mesh() -> Optional[Mesh]:
 
 
 def auto_mesh(num_envs: int) -> Optional[Mesh]:
-    """1-D env mesh over the largest local-device count that divides
-    ``num_envs`` (trimming odd device counts instead of crashing).
-    Returns None when only one device would be used.
+    """1-D env mesh over the largest DIVISOR of the local-device count
+    that also divides ``num_envs``. Divisors of the device count keep
+    the mesh a regular sub-slice of the TPU topology (8 devices with
+    numEnvs=100 builds a 4-device mesh, not an odd 5-of-8 subset with a
+    degraded ICI ring — round-4 ADVICE); when devices must be left idle
+    a warning says so. Returns None when only one device would be used.
     ``BSIM_MAX_DEVICES`` caps the count (e.g. =1 forces single-device —
     the dryrun's sharded-vs-single comparison knob)."""
     import os
-    n = len(jax.devices())
+    n_dev = len(jax.devices())
     cap = int(os.environ.get("BSIM_MAX_DEVICES", "0"))
     if cap > 0:
-        n = min(n, cap)
-    while n > 1 and num_envs % n != 0:
+        n_dev = min(n_dev, cap)
+    n = n_dev
+    while n > 1 and (num_envs % n != 0 or n_dev % n != 0):
         n -= 1
+    if 1 < n < n_dev:
+        import warnings
+        warnings.warn(
+            f"auto_mesh: numEnvs={num_envs} is not divisible by the "
+            f"{n_dev} local devices; using a {n}-device sub-mesh "
+            f"({n_dev - n} devices idle). Pick numEnvs divisible by "
+            f"{n_dev} to use the full slice.")
     return make_mesh(n) if n > 1 else None
 
 

@@ -209,3 +209,26 @@ def test_multihost_two_process_cluster(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid} psum OK" in out
+
+
+def test_auto_mesh_prefers_device_count_divisors():
+    """8 virtual devices with numEnvs=100: the mesh must be a 4-device
+    sub-slice (a divisor of 8), not an odd 5-of-8 subset (round-4
+    ADVICE — non-divisor subsets are degraded ICI topologies), and a
+    warning must flag the idle devices."""
+    import warnings
+    from bayes_sim_ig_tpu.parallel.mesh import auto_mesh
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = auto_mesh(100)
+        assert mesh is not None and mesh.size == 4
+        assert any("sub-mesh" in str(x.message) for x in w)
+    # Divisible case: full 8-device mesh, no warning.
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = auto_mesh(4096)
+        assert mesh is not None and mesh.size == 8
+        assert not any("sub-mesh" in str(x.message) for x in w)
+    # Nothing sane divides: single device, no mesh.
+    assert auto_mesh(7) is None
