@@ -746,7 +746,14 @@ def contact_pairs_impulse_prepare(model: ArticulatedModel, kin, factor,
             groups.append((rows, dofs, Yg, Jg))
         return dict(mode="Y", groups=groups, invD=invD, diag=diag,
                     share=share, mu=mu_j, P=P, fidx=fidx, R=R,
-                    chains=chains, H=H, nv=model.nv)
+                    chains=chains, H=H, nv=model.nv,
+                    # Self-describing row payload (round-4 ADVICE): the
+                    # world direction, contact point and link pair of
+                    # every solved row, so force-sensor readers derive
+                    # nothing by hand (impulse_row_forces below). Unused
+                    # entries are DCE'd by XLA.
+                    dirs=dirs, cpt=cpt, row_links_a=tuple(row_links_a),
+                    row_links_b=tuple(row_links_b))
     J = sum(dirs[:, None, x] * S_lin[None, :, x]
             + rxn[:, None, x] * S_ang[None, :, x]
             for x in range(3))                            # (R, nv, N)
@@ -801,7 +808,9 @@ def contact_pairs_impulse_prepare(model: ArticulatedModel, kin, factor,
     diag = jnp.sum((J_s * X).astype(jnp.float32), 1) + 1e-9   # (R, N)
     del J, J_s
     return dict(mode="X", J_c=J_c, sup=sup_idx, X=X, diag=diag,
-                share=share, mu=mu_j, P=P, fidx=fidx)
+                share=share, mu=mu_j, P=P, fidx=fidx, nv=model.nv,
+                dirs=dirs, cpt=cpt, row_links_a=tuple(row_links_a),
+                row_links_b=tuple(row_links_b))
 
 
 def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
@@ -962,6 +971,41 @@ def contact_pairs_impulse_apply(payload, v, depth, dt, beta=0.2,
     else:
         v_out = (vT + w).T
     return (v_out, (lam, w)) if return_warm else v_out
+
+
+def impulse_row_forces(payload, lam, dt):
+    """World-frame contact force of every prepared row, (R, 3, N):
+    ``dirs * lam / dt``. Row r's force acts ON ``payload['row_links_a'][r]``
+    and its reaction ON ``payload['row_links_b'][r]``; row contact points
+    are ``payload['cpt']``. Force-sensor readers select rows by link via
+    the payload's own layout instead of re-deriving the tangent basis
+    and row offsets by hand (round-4 ADVICE: the hand-derived version
+    silently corrupted if fric_pairs or the basis changed)."""
+    return payload["dirs"].astype(jnp.float32) * (lam / dt)[:, None]
+
+
+def impulse_generalized_force(payload, lam, dt):
+    """Generalized contact force of the solved rows, (nv, N):
+    tau = J^T lam / dt, assembled from the payload's own Jacobian
+    factors (both Delassus modes). Used by dof-force sensor obs."""
+    if payload.get("mode", "X") == "Y":
+        nv = payload["nv"]
+        n = lam.shape[-1]
+        tau = jnp.zeros((nv, n))
+        for rows, dofs, _Yg, Jg in payload["groups"]:
+            lg = lam[jnp.asarray(rows)]                   # (g, N)
+            tau = tau.at[jnp.asarray(dofs)].add(
+                jnp.sum(Jg * lg[:, None, :], 0).astype(jnp.float32))
+        return tau / dt
+    J_c, sup = payload["J_c"], payload["sup"]
+    R, K, n = J_c.shape
+    contrib = (J_c * lam[:, None, :]).astype(jnp.float32)  # (R, K, N)
+    if sup is None:
+        return jnp.sum(contrib, 0) / dt
+    nv = payload["nv"]
+    return jnp.zeros((nv, n)).at[
+        jnp.asarray(sup).reshape(-1)].add(
+        contrib.reshape(R * K, n)) / dt
 
 
 def sphere_sphere_impulse(model: ArticulatedModel, kin, factor, v,

@@ -619,6 +619,21 @@ def _bias_from_i10(model: ArticulatedModel, kin: Kinematics, I10,
     return jnp.sum(F * kin.S_o, 1)                        # (nv, N)
 
 
+def external_generalized_force(model: ArticulatedModel, kin: Kinematics,
+                               f_ext_world):
+    """Generalized force tau = J^T f from per-link world wrenches,
+    (nv, N). ``f_ext_world`` is env-last (nb, 6, N) with rows
+    [torque@link-origin; force] — the contact functions' output
+    convention. Same projection ``_bias_from_i10`` folds into the RHS;
+    exposed standalone for dof-force sensor observations (IG's
+    dof_force_tensor analogue in ShadowHand full_state obs)."""
+    rel = kin.p_w - kin.o[None]
+    n_o = f_ext_world[:, :3] + _cross(rel, f_ext_world[:, 3:])
+    f = jnp.concatenate([n_o, f_ext_world[:, 3:]], 1)
+    F = _fold(model.anc_dof.T, _c16(f), out_dtype=jnp.float32)
+    return jnp.sum(F * kin.S_o, 1)                        # (nv, N)
+
+
 def _mass_factors_i10(model: ArticulatedModel, kin: Kinematics, I10):
     """CRBA left factor F[m] = IC_m S_m from packed composite inertias
     (IC_m = subtree sum of I10 — the 10-vector is linear in the bodies).

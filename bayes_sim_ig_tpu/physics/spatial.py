@@ -15,6 +15,7 @@ largest model here has ~25 links), letting XLA fuse the whole step.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -41,6 +42,35 @@ def quat_to_rot(q):
                    1 - 2 * (x * x + y * y)], -1),
     ]
     return jnp.stack(rows, -2)
+
+
+def rot_to_quat(R):
+    """Rotation matrix (3, 3, ...) -> unit quaternion (4, ...) in
+    (w, x, y, z), leading-axes layout (the env-last Kinematics
+    convention: pass kin.R_w[link] of shape (3, 3, N) and get (4, N)).
+    Branchless max-pivot Shepperd construction — all four pivot
+    candidates are computed and the numerically largest is selected
+    per element, so it vectorizes with no data-dependent control flow
+    (fingertip-orientation observations, ShadowHand full_state)."""
+    r00, r01, r02 = R[0, 0], R[0, 1], R[0, 2]
+    r10, r11, r12 = R[1, 0], R[1, 1], R[1, 2]
+    r20, r21, r22 = R[2, 0], R[2, 1], R[2, 2]
+    qw2 = jnp.maximum(1.0 + r00 + r11 + r22, 0.0)
+    qx2 = jnp.maximum(1.0 + r00 - r11 - r22, 0.0)
+    qy2 = jnp.maximum(1.0 - r00 + r11 - r22, 0.0)
+    qz2 = jnp.maximum(1.0 - r00 - r11 + r22, 0.0)
+    cand = jnp.stack([
+        jnp.stack([qw2, r21 - r12, r02 - r20, r10 - r01]),
+        jnp.stack([r21 - r12, qx2, r01 + r10, r02 + r20]),
+        jnp.stack([r02 - r20, r01 + r10, qy2, r12 + r21]),
+        jnp.stack([r10 - r01, r02 + r20, r12 + r21, qz2]),
+    ])                                                    # (4, 4, ...)
+    mags = jnp.stack([qw2, qx2, qy2, qz2])                # (4, ...)
+    pick = jax.nn.one_hot(jnp.argmax(mags, 0), 4, axis=0,
+                          dtype=R.dtype)                  # (4, ...)
+    q = jnp.sum(cand * pick[:, None], 0)                  # (4, ...)
+    q = q / (jnp.sqrt(jnp.sum(q * q, 0, keepdims=True)) + 1e-12)
+    return jnp.where(q[0] < 0, -q, q)                     # canonical w>=0
 
 
 def quat_mul(a, b):
