@@ -10,7 +10,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+# Repo root (worktree-relative, for __graft_entry__): tests must import
+# the tree they live in, not a hardcoded checkout path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def test_devices_available():
