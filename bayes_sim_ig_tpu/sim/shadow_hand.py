@@ -47,6 +47,7 @@ from ..physics import (
 )
 from ..physics.contact import (contact_pairs_impulse_apply,
                                contact_pairs_impulse_prepare,
+                               impulse_row_forces,
                                sphere_box_pairs_forces,
                                sphere_plane_pairs_forces,
                                sphere_sphere_pairs_forces)
@@ -808,7 +809,8 @@ class ShadowHand(Task):
         q, v, _ = carry
         if self.force_sensor_obs:
             tip_force = self._sensor_forces(sensor_stash[0], imp_warm[0],
-                                            imp_mode, n_sph, h, n_env)
+                                            imp_prep[0], imp_mode, h,
+                                            n_env)
         else:
             tip_force = jnp.zeros((n_env, 18))
         return HandState(q=q, v=v, goal_quat=state.goal_quat,
@@ -816,7 +818,7 @@ class ShadowHand(Task):
                          gravity_dz=state.gravity_dz,
                          tip_force=tip_force)
 
-    def _sensor_forces(self, stash, warm, imp_mode, n_sph, h, n_env):
+    def _sensor_forces(self, stash, warm, payload, imp_mode, h, n_env):
         """World-frame contact forces at the 5 fingertip sensors + the
         palm, (N, 18), from the LAST substep's contact solve — the
         tpu-native stand-in for IG full_state's fingertip force sensors
@@ -824,36 +826,41 @@ class ShadowHand(Task):
         /root/reference/bayes_sim_ig/sim/ig_env_wrappers.py:314-371).
         Fingertips: penalty box-contact forces summed over each distal
         link's contact points (the resting/grasp signal) plus the
-        impulse backstop's normal rows (lam/h along the contact
-        normal). Palm: the velocity-level cube-palm rows exactly —
-        normals + Coulomb tangentials (impulse/h), the solver that OWNS
-        that contact; reaction sign (force ON the palm FROM the cube)."""
-        f_box, f_palm, geo_box = stash
-        n_box = geo_box[0]                               # (n_pts, 3, N)
-        sensors = list(self._fingertips)
+        impulse backstop's cube-contact rows. Palm: the velocity-level
+        cube-palm rows exactly — normals + Coulomb tangentials, the
+        solver that OWNS that contact; reaction sign (force ON the palm
+        FROM the cube). Row directions, contact points and link pairs
+        all come from the impulse payload's own self-description
+        (impulse_row_forces) — nothing about the tangent basis or row
+        layout is re-derived here (round-4 ADVICE)."""
+        f_box, f_palm, _geo_box = stash
+        use_imp = (imp_mode == "1" and warm is not None
+                   and payload is not None)
+        if use_imp:
+            rf = impulse_row_forces(payload, warm[0], h)  # (R, 3, N)
+            la = payload["row_links_a"]
+            lb = payload["row_links_b"]
         rows = []
-        for tl in sensors:
+        for tl in self._fingertips:
             # Penalty forces arrive pre-accumulated per LINK as spatial
             # wrenches (nb, 6, N): the tip's linear part is exactly the
             # sum over its contact points.
             f = f_box[tl, 3:]                            # (3, N) on tip
-            if imp_mode == "1" and warm is not None:
-                lam = warm[0]
-                for j, (l, *_r) in enumerate(self._box_pts):
-                    if l == tl and j < n_sph:  # impulse-backed primaries
-                        f = f + n_box[j] * lam[8 + j][None] / h
+            if use_imp:
+                # This tip's cube-contact rows (links_a side; finger-
+                # finger rows excluded — the sensor reports the GRASP
+                # force, matching the penalty-era scope).
+                idx = [r for r in range(len(la))
+                       if la[r] == tl and lb[r] == self._cube]
+                if idx:
+                    f = f + jnp.sum(rf[jnp.asarray(idx)], 0)
             rows.append(f)
-        # Palm: impulse rows 0..8 are cube-palm normals (+z world,
-        # palm_nrms) and their Coulomb tangent rows sit at [P:P+8] (t1)
-        # / [P+F:P+F+8] (t2) with t1 = z x x = +y, t2 = z x t1 = -x
-        # (contact_pairs_impulse_prepare's branchless basis at n = e_z).
-        if imp_mode == "1" and warm is not None:
-            lam = warm[0]
-            P = lam.shape[0] - 16                        # R = P + 2F, F=8
-            f_n = jnp.sum(lam[0:8], 0) / h               # (N,) along +z
-            f_t1 = jnp.sum(lam[P:P + 8], 0) / h          # along +y
-            f_t2 = jnp.sum(lam[P + 8:P + 16], 0) / h     # along -x
-            palm_f = jnp.stack([f_t2, -f_t1, -f_n], 0)   # ON palm
+        if use_imp:
+            # All rows whose reaction side is the palm (cube-palm
+            # normals + their Coulomb tangent rows): force ON the palm
+            # is minus the row force on links_a.
+            idx_b = [r for r in range(len(lb)) if lb[r] == self._palm]
+            palm_f = -jnp.sum(rf[jnp.asarray(idx_b)], 0)
         else:
             # Penalty palm mode: the palm link's accumulated wrench
             # already carries the reaction sign.
