@@ -807,6 +807,37 @@ class ShadowHand(Task):
                     # row is streamed bandwidth in the sweeps.
                     imp_mu = mu_palm
                     imp_fric = np.arange(8)
+                    k_palm = int(os.environ.get("BSIM_PALM_PTS", "8"))
+                    if k_palm < 8:
+                        # Reduced palm manifold (VERDICT round-4 item
+                        # 3c A/B): keep only the k deepest cube-corner
+                        # rows per env. A cube resting on a plane has
+                        # at most 4 corners in contact, so k=4 drops
+                        # rows that are almost always inactive — and
+                        # every dropped normal buys back 3 rows of
+                        # streamed sweep bandwidth (normal + 2 Coulomb
+                        # tangents). Selected once per step from the
+                        # first substep's depths and reused, like the
+                        # prepare payload itself (corners move O(mm)
+                        # within a control step).
+                        if palm_sel[0] is None:
+                            palm_sel[0] = jax.lax.top_k(
+                                geo[1][:8].T, k_palm)[1].T    # (k, N)
+                        sel = palm_sel[0]
+                        g_n = jnp.take_along_axis(
+                            geo[0][:8], sel[:, None, :], 0)
+                        g_d = jnp.take_along_axis(geo[1][:8], sel, 0)
+                        g_p = jnp.take_along_axis(
+                            geo[2][:8], sel[:, None, :], 0)
+                        geo = tuple(
+                            jnp.concatenate([a, b[8:]], 0)
+                            for a, b in zip((g_n, g_d, g_p), geo))
+                        la = [self._cube] * k_palm + imp_links_a[8:]
+                        lb = [self._palm] * k_palm + imp_links_b[8:]
+                        slop = np.concatenate(
+                            [imp_slop[:k_palm], imp_slop[8:]])
+                        imp_mu = jnp.take_along_axis(mu_palm, sel, 0)
+                        imp_fric = np.arange(k_palm)
                 # TGS-style split: the Jacobian + M^-1 J^T prepare (the
                 # expensive half) runs on the FIRST substep only and is
                 # reused — J moves O(mm) within a control step; the
@@ -839,7 +870,8 @@ class ShadowHand(Task):
         carry = (state.q, state.v, None)
         imp_prep = [None]        # filled at substep-1 trace, then reused
         imp_warm = [None]        # (lam, w) carried substep -> substep
-        sensor_stash = [None]    # last substep's (f_box, f_palm, geo_box)
+        palm_sel = [None]        # BSIM_PALM_PTS corner selection, ditto
+        sensor_stash = [None]    # last substep's stash (see below)
         # Per-substep sweep counts: the warm-started later substeps need
         # fewer projected-Jacobi iterations (apply docstring). Default
         # "2,1" from the round-4 A/B (each saved sweep is one streamed
