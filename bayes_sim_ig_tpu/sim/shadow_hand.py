@@ -19,10 +19,17 @@ reference README.md:165). The config's scheduled correlated obs/action
 noise is wired through the task noise hooks; the sim_params gravity
 randomization is drawn per episode into the task state.
 
-Obs (89, our layout — IG's 211-dim full_state includes force sensors and
-torques we do not replicate): dof pos (24), dof vel (24), cube pos rel
-palm (3), cube quat (4), cube lin/ang vel (6), goal quat (4), quat
-difference (4), previous actions (20). Actions (20): position targets for
+Obs: ``observationType: "full_state"`` (the value both shipped reference
+ShadowHand configs use, cfg/shadow_hand.yaml:42) selects the 211-dim
+layout mirroring IG's full_state extent — dof pos/vel/force (3x24),
+object pose+vel (13), goal (11), fingertip states (5x13), fingertip
+force/torque sensors (5x6), actions (20) — with the force/dof-force/
+fingertip blocks derived from the step's own contact solve and
+kinematics (see observe()). Any other value keeps this rebuild's
+compact 89-dim layout: dof pos (24), dof vel (24), cube pos rel palm
+(3), cube quat (4), cube lin/ang vel (6), goal quat (4), quat
+difference (4), previous actions (20); +18 fingertip/palm force dims
+with ``forceSensorObs: true``. Actions (20): position targets for
 the actuated dofs (J1s follow through the tendons). Reward: IG recipe
 with the reference constants (rotation distance, action penalty, reach
 bonus 250, fall distance 0.24).
@@ -47,10 +54,13 @@ from ..physics import (
 )
 from ..physics.contact import (contact_pairs_impulse_apply,
                                contact_pairs_impulse_prepare,
+                               impulse_generalized_force,
+                               impulse_row_forces,
                                sphere_box_pairs_forces,
                                sphere_plane_pairs_forces,
                                sphere_sphere_pairs_forces)
-from ..physics.spatial import quat_to_rot, quat_mul
+from ..physics.dynamics import external_generalized_force
+from ..physics.spatial import quat_to_rot, quat_mul, rot_to_quat
 from .render2d import draw_line
 from .task import Task
 
@@ -261,8 +271,21 @@ class HandState(NamedTuple):
     # the palm, derived from the step's own contact solve (VERDICT
     # round-3 item 8: IG's full_state carries fingertip force sensors,
     # shadow_hand.py obs_type "full_state"); zeros unless the task's
-    # forceSensorObs flag computes them.
+    # forceSensorObs flag or the full_state obs type computes them.
     tip_force: jnp.ndarray
+    # full_state-only blocks (zeros otherwise; static shapes so the
+    # pytree layout is config-independent):
+    # (N, 15) world-frame contact torques about each fingertip link
+    # origin (the torque half of IG's 5x6 fingertip force/torque
+    # sensors).
+    tip_torque: jnp.ndarray
+    # (N, 65) fingertip link states, 5 x [pos(3) quat(4) linvel(3)
+    # angvel(3)] in world coordinates (IG full_state's fingertip block).
+    tip_state: jnp.ndarray
+    # (N, 24) generalized force on the hand dofs: implicit PD drive
+    # torque + tendon coupling + J^T of the penalty and impulse contact
+    # forces (IG's dof_force_tensor analogue).
+    dof_force: jnp.ndarray
 
 
 def _random_quat(key, n):
@@ -304,6 +327,19 @@ class ShadowHand(Task):
         self.reach_goal_bonus = float(env_cfg.get("reachGoalBonus", 250))
         self.fall_dist = float(env_cfg.get("fallDistance", FALL_DIST))
         self.fall_penalty = float(env_cfg.get("fallPenalty", 0.0))
+        # Observation layout switch honoring the reference's config key
+        # (/root/reference/bayes_sim_ig/cfg/shadow_hand.yaml:42
+        # `observationType: "full_state"` — both shipped reference
+        # ShadowHand configs use it; VERDICT round-4 item 4 / missing
+        # #1). "full_state" selects the 211-dim layout mirroring IG's
+        # ShadowHand full_state obs extent: dof pos/vel/force (3x24),
+        # object 13, goal 11, fingertip states 5x13, fingertip
+        # force/torque sensors 5x6, actions 20. Every other value
+        # (absent key, "full", "openai", ...) selects this rebuild's
+        # documented 89-dim approximation (+18 with forceSensorObs).
+        self.obs_type = str(env_cfg.get("observationType",
+                                        "full")).lower()
+        self.full_state_obs = self.obs_type == "full_state"
         # Opt-in fingertip/palm force-sensor obs block (18 dims),
         # stepping the 89-dim approximation toward IG's 211-dim
         # full_state (whose 30 dims of fingertip force sensors the
@@ -313,7 +349,9 @@ class ShadowHand(Task):
         # velocity-level palm impulse rows (physics_step).
         self.force_sensor_obs = bool(env_cfg.get("forceSensorObs",
                                                  False))
-        if self.force_sensor_obs:
+        if self.full_state_obs:
+            self.obs_dim = 211
+        elif self.force_sensor_obs:
             self.obs_dim = ShadowHand.obs_dim + 18
         (self.model, self._idx, self._fingertips, name_map,
          self._tendon_pairs, self._cube) = build_hand_model()
@@ -543,7 +581,10 @@ class ShadowHand(Task):
         return HandState(q=q, v=v, goal_quat=goal,
                          prev_actions=jnp.zeros((n, 20)),
                          gravity_dz=gravity_dz,
-                         tip_force=jnp.zeros((n, 18)))
+                         tip_force=jnp.zeros((n, 18)),
+                         tip_torque=jnp.zeros((n, 15)),
+                         tip_state=jnp.zeros((n, 65)),
+                         dof_force=jnp.zeros((n, 24)))
 
     def physics_step(self, state, actions, params, key):
         # Natively batched engine call (dynamics.py) — no vmap around the
@@ -718,10 +759,17 @@ class ShadowHand(Task):
             f_ext = f_box + f_ss
             if not palm_veloc:
                 f_ext = f_ext + f_palm
-            if self.force_sensor_obs:
+            if self.force_sensor_obs or self.full_state_obs:
                 # Last substep's values win (overwritten each substep) —
-                # the force the sensors report for the step.
-                sensor_stash[0] = (f_box, f_palm, geo_box)
+                # the force the sensors report for the step. kin/f_ext/
+                # tau feed the full_state fingertip-state and dof-force
+                # blocks; they are pre-integration values of the LAST
+                # substep (h/2 = 8 ms stale vs the post-step q/v the
+                # kinematic obs read) — an extra post-step FK pass just
+                # for obs is not worth the bandwidth, and the inference
+                # signal is identical (documented divergence).
+                sensor_stash[0] = (f_box, f_palm, geo_box, kin,
+                                   f_ext, tau)
             # The impulse set keeps the PRIMARY box rows only (the
             # line-manifold extras are penalty-only; a static slice).
             imp_geo = tuple(jnp.concatenate([a, b[:n_sph], c], 0)
@@ -759,6 +807,37 @@ class ShadowHand(Task):
                     # row is streamed bandwidth in the sweeps.
                     imp_mu = mu_palm
                     imp_fric = np.arange(8)
+                    k_palm = int(os.environ.get("BSIM_PALM_PTS", "8"))
+                    if k_palm < 8:
+                        # Reduced palm manifold (VERDICT round-4 item
+                        # 3c A/B): keep only the k deepest cube-corner
+                        # rows per env. A cube resting on a plane has
+                        # at most 4 corners in contact, so k=4 drops
+                        # rows that are almost always inactive — and
+                        # every dropped normal buys back 3 rows of
+                        # streamed sweep bandwidth (normal + 2 Coulomb
+                        # tangents). Selected once per step from the
+                        # first substep's depths and reused, like the
+                        # prepare payload itself (corners move O(mm)
+                        # within a control step).
+                        if palm_sel[0] is None:
+                            palm_sel[0] = jax.lax.top_k(
+                                geo[1][:8].T, k_palm)[1].T    # (k, N)
+                        sel = palm_sel[0]
+                        g_n = jnp.take_along_axis(
+                            geo[0][:8], sel[:, None, :], 0)
+                        g_d = jnp.take_along_axis(geo[1][:8], sel, 0)
+                        g_p = jnp.take_along_axis(
+                            geo[2][:8], sel[:, None, :], 0)
+                        geo = tuple(
+                            jnp.concatenate([a, b[8:]], 0)
+                            for a, b in zip((g_n, g_d, g_p), geo))
+                        la = [self._cube] * k_palm + imp_links_a[8:]
+                        lb = [self._palm] * k_palm + imp_links_b[8:]
+                        slop = np.concatenate(
+                            [imp_slop[:k_palm], imp_slop[8:]])
+                        imp_mu = jnp.take_along_axis(mu_palm, sel, 0)
+                        imp_fric = np.arange(k_palm)
                 # TGS-style split: the Jacobian + M^-1 J^T prepare (the
                 # expensive half) runs on the FIRST substep only and is
                 # reused — J moves O(mm) within a control step; the
@@ -791,7 +870,8 @@ class ShadowHand(Task):
         carry = (state.q, state.v, None)
         imp_prep = [None]        # filled at substep-1 trace, then reused
         imp_warm = [None]        # (lam, w) carried substep -> substep
-        sensor_stash = [None]    # last substep's (f_box, f_palm, geo_box)
+        palm_sel = [None]        # BSIM_PALM_PTS corner selection, ditto
+        sensor_stash = [None]    # last substep's stash (see below)
         # Per-substep sweep counts: the warm-started later substeps need
         # fewer projected-Jacobi iterations (apply docstring). Default
         # "2,1" from the round-4 A/B (each saved sweep is one streamed
@@ -806,17 +886,30 @@ class ShadowHand(Task):
         for sub_i_ in range(self.substeps):
             carry, _ = substep(carry, sub_i_)
         q, v, _ = carry
-        if self.force_sensor_obs:
-            tip_force = self._sensor_forces(sensor_stash[0], imp_warm[0],
-                                            imp_mode, n_sph, h, n_env)
+        if self.force_sensor_obs or self.full_state_obs:
+            tip_force, tip_torque = self._sensor_forces(
+                sensor_stash[0], imp_warm[0], imp_prep[0], imp_mode, h,
+                n_env, torques=self.full_state_obs)
         else:
             tip_force = jnp.zeros((n_env, 18))
+            tip_torque = jnp.zeros((n_env, 15))
+        if self.full_state_obs:
+            _fb, _fp, _gb, kin_s, f_ext_s, tau_s = sensor_stash[0]
+            tip_state = self._tip_states(kin_s)
+            dof_force = self._dof_forces(q, v, targets, kp, kd, tau_s,
+                                         kin_s, f_ext_s, imp_prep[0],
+                                         imp_warm[0], imp_mode, h, n_env)
+        else:
+            tip_state = jnp.zeros((n_env, 65))
+            dof_force = jnp.zeros((n_env, 24))
         return HandState(q=q, v=v, goal_quat=state.goal_quat,
                          prev_actions=jnp.clip(actions, -1, 1),
                          gravity_dz=state.gravity_dz,
-                         tip_force=tip_force)
+                         tip_force=tip_force, tip_torque=tip_torque,
+                         tip_state=tip_state, dof_force=dof_force)
 
-    def _sensor_forces(self, stash, warm, imp_mode, n_sph, h, n_env):
+    def _sensor_forces(self, stash, warm, payload, imp_mode, h, n_env,
+                       torques=False):
         """World-frame contact forces at the 5 fingertip sensors + the
         palm, (N, 18), from the LAST substep's contact solve — the
         tpu-native stand-in for IG full_state's fingertip force sensors
@@ -824,42 +917,102 @@ class ShadowHand(Task):
         /root/reference/bayes_sim_ig/sim/ig_env_wrappers.py:314-371).
         Fingertips: penalty box-contact forces summed over each distal
         link's contact points (the resting/grasp signal) plus the
-        impulse backstop's normal rows (lam/h along the contact
-        normal). Palm: the velocity-level cube-palm rows exactly —
-        normals + Coulomb tangentials (impulse/h), the solver that OWNS
-        that contact; reaction sign (force ON the palm FROM the cube)."""
-        f_box, f_palm, geo_box = stash
-        n_box = geo_box[0]                               # (n_pts, 3, N)
-        sensors = list(self._fingertips)
-        rows = []
-        for tl in sensors:
+        impulse backstop's cube-contact rows. Palm: the velocity-level
+        cube-palm rows exactly — normals + Coulomb tangentials, the
+        solver that OWNS that contact; reaction sign (force ON the palm
+        FROM the cube). Row directions, contact points and link pairs
+        all come from the impulse payload's own self-description
+        (impulse_row_forces) — nothing about the tangent basis or row
+        layout is re-derived here (round-4 ADVICE).
+
+        With ``torques=True`` additionally returns (N, 15): the contact
+        torque about each fingertip link origin (the torque half of
+        IG's 5x6 force/torque sensors) — the penalty wrenches' angular
+        rows are already torques about the link origin, and each
+        impulse row contributes its contact-point lever arm
+        ``(cpt - p_tip) x f``. Always returns a (force, torque) pair;
+        torque is zeros when not requested."""
+        f_box, f_palm, _geo_box, kin, _fe, _ta = stash
+        use_imp = (imp_mode == "1" and warm is not None
+                   and payload is not None)
+        if use_imp:
+            rf = impulse_row_forces(payload, warm[0], h)  # (R, 3, N)
+            la = payload["row_links_a"]
+            lb = payload["row_links_b"]
+            cpt = payload["cpt"]                          # (R, 3, N)
+        rows, trq = [], []
+        for tl in self._fingertips:
             # Penalty forces arrive pre-accumulated per LINK as spatial
             # wrenches (nb, 6, N): the tip's linear part is exactly the
             # sum over its contact points.
             f = f_box[tl, 3:]                            # (3, N) on tip
-            if imp_mode == "1" and warm is not None:
-                lam = warm[0]
-                for j, (l, *_r) in enumerate(self._box_pts):
-                    if l == tl and j < n_sph:  # impulse-backed primaries
-                        f = f + n_box[j] * lam[8 + j][None] / h
+            t = f_box[tl, :3] if torques else None       # @ link origin
+            if use_imp:
+                # This tip's cube-contact rows (links_a side; finger-
+                # finger rows excluded — the sensor reports the GRASP
+                # force, matching the penalty-era scope).
+                idx = [r for r in range(len(la))
+                       if la[r] == tl and lb[r] == self._cube]
+                if idx:
+                    ridx = jnp.asarray(idx)
+                    f = f + jnp.sum(rf[ridx], 0)
+                    if torques:
+                        arm = cpt[ridx] - kin.p_w[tl][None]
+                        t = t + jnp.sum(jnp.cross(arm, rf[ridx],
+                                                  axis=1), 0)
             rows.append(f)
-        # Palm: impulse rows 0..8 are cube-palm normals (+z world,
-        # palm_nrms) and their Coulomb tangent rows sit at [P:P+8] (t1)
-        # / [P+F:P+F+8] (t2) with t1 = z x x = +y, t2 = z x t1 = -x
-        # (contact_pairs_impulse_prepare's branchless basis at n = e_z).
-        if imp_mode == "1" and warm is not None:
-            lam = warm[0]
-            P = lam.shape[0] - 16                        # R = P + 2F, F=8
-            f_n = jnp.sum(lam[0:8], 0) / h               # (N,) along +z
-            f_t1 = jnp.sum(lam[P:P + 8], 0) / h          # along +y
-            f_t2 = jnp.sum(lam[P + 8:P + 16], 0) / h     # along -x
-            palm_f = jnp.stack([f_t2, -f_t1, -f_n], 0)   # ON palm
+            if torques:
+                trq.append(t)
+        if use_imp:
+            # All rows whose reaction side is the palm (cube-palm
+            # normals + their Coulomb tangent rows): force ON the palm
+            # is minus the row force on links_a.
+            idx_b = [r for r in range(len(lb)) if lb[r] == self._palm]
+            palm_f = -jnp.sum(rf[jnp.asarray(idx_b)], 0)
         else:
             # Penalty palm mode: the palm link's accumulated wrench
             # already carries the reaction sign.
             palm_f = f_palm[self._palm, 3:]
         rows.append(palm_f)
-        return jnp.concatenate(rows, 0).T                # (N, 18)
+        tip_torque = (jnp.concatenate(trq, 0).T if torques
+                      else jnp.zeros((n_env, 15)))
+        return jnp.concatenate(rows, 0).T, tip_torque    # (N,18),(N,15)
+
+    def _tip_states(self, kin):
+        """Fingertip link states for full_state obs, (N, 65): per tip
+        [world pos(3), quat(4), world linvel(3), world angvel(3)] —
+        IG full_state's 5x13 fingertip block (rigid-body state rows).
+        ``kin.v`` is body-coordinate [w; vl] at the link origin, so the
+        velocities rotate through R_w."""
+        cols = []
+        for tl in self._fingertips:
+            R = kin.R_w[tl]                               # (3, 3, N)
+            ang = jnp.einsum("ijn,jn->in", R, kin.v[tl, :3])
+            lin = jnp.einsum("ijn,jn->in", R, kin.v[tl, 3:])
+            cols += [kin.p_w[tl], rot_to_quat(R), lin, ang]
+        return jnp.concatenate(cols, 0).T                 # (N, 65)
+
+    def _dof_forces(self, q, v, targets, kp, kd, tau, kin, f_ext,
+                    payload, warm, imp_mode, h, n_env):
+        """Generalized force on the 24 hand dofs, (N, 24) — the
+        tpu-native analogue of IG's dof_force_tensor in full_state
+        (closed rlgpu ShadowHand obs_buf[48:72]): implicit-PD drive
+        torque evaluated at the post-step state (exactly what the
+        implicit solve applies, clipped at the 3 Nm drive effort),
+        plus the tendon-coupling torques and J^T of the penalty +
+        impulse contact forces from the last substep's solve."""
+        act_q, act_v = jnp.asarray(self._act_q), jnp.asarray(self._act_v)
+        drive = jnp.clip(kp * (targets - q[:, act_q]) - kd * v[:, act_v],
+                         -3.0, 3.0)                       # (N, 20)
+        m = self.model
+        total = jnp.zeros((n_env, m.nv)).at[:, act_v].add(drive)
+        total = total + tau                               # tendons (N,nv)
+        contact = external_generalized_force(m, kin, f_ext)  # (nv, N)
+        if imp_mode != "0" and warm is not None and payload is not None:
+            contact = contact + impulse_generalized_force(
+                payload, warm[0], h)
+        total = total + contact.T
+        return total[:, jnp.asarray(self._dof_v)]         # (N, 24)
 
     def _cube_pose(self, state):
         cq = self._cube_q
@@ -871,11 +1024,51 @@ class ShadowHand(Task):
         qb_conj = qb * jnp.array([1.0, -1.0, -1.0, -1.0])
         return jax.vmap(quat_mul)(qa, qb_conj)
 
+    # IG's published obs scale constants (rlgpu ShadowHand:
+    # dofVelocityScale / velObsScale 0.2, forceTorqueObsScale 0.05) —
+    # adopted for the full_state blocks so force/velocity dims land O(1).
+    VEL_OBS_SCALE = 0.2
+    FORCE_TORQUE_OBS_SCALE = 0.05
+
     def observe(self, state, params):
         cv = self._cube_v
         pos, quat = self._cube_pose(state)
         palm_anchor = jnp.array([0.06, 0.0, PALM_Z])
         diff = self._quat_diff(quat, state.goal_quat)
+        if self.full_state_obs:
+            # 211-dim full_state mirroring IG's layout extent and order
+            # (closed rlgpu ShadowHand compute_full_state; the reference
+            # ships observationType "full_state" in both ShadowHand
+            # configs — cfg/shadow_hand.yaml:42): dof pos (24), dof vel
+            # (24), dof force (24), object pose+vel (13), goal pos+quat
+            # +quatdiff (11), fingertip states (5x13=65), fingertip
+            # force/torque sensors (5x6=30), actions (20). Divergences
+            # (documented, PARITY): cube/goal positions are palm-
+            # relative (our convention everywhere), the fingertip and
+            # sensor blocks read the last substep's kinematics (8 ms
+            # stale vs the post-step dof block), and dof force is
+            # drive+tendon+contact generalized force rather than PhysX's
+            # joint-transmitted total.
+            sens = jnp.concatenate(
+                [jnp.concatenate([state.tip_force[:, 3 * i:3 * i + 3],
+                                  state.tip_torque[:, 3 * i:3 * i + 3]],
+                                 axis=-1) for i in range(5)], axis=-1)
+            cols = [
+                state.q[:, jnp.asarray(self._dof_q)],
+                state.v[:, jnp.asarray(self._dof_v)]
+                * self.VEL_OBS_SCALE,
+                state.dof_force * self.FORCE_TORQUE_OBS_SCALE,
+                pos - palm_anchor,
+                quat,
+                state.v[:, cv + 3:cv + 6],
+                state.v[:, cv:cv + 3] * self.VEL_OBS_SCALE,
+                jnp.zeros_like(pos),       # goal pos (fixed == anchor)
+                state.goal_quat,
+                diff,
+                state.tip_state,
+                sens * self.FORCE_TORQUE_OBS_SCALE,
+                state.prev_actions]
+            return jnp.concatenate(cols, axis=-1)
         cols = [
             state.q[:, jnp.asarray(self._dof_q)],
             state.v[:, jnp.asarray(self._dof_v)],
@@ -887,9 +1080,13 @@ class ShadowHand(Task):
             diff,
             state.prev_actions]
         if self.force_sensor_obs:
-            # IG full_state appends fingertip force-sensor readings
-            # after the kinematic block; same placement here (scaled to
-            # O(1) — contact forces run 0..5 N at these masses).
+            # Fingertip+palm force readings (scaled to O(1) — contact
+            # forces run 0..5 N at these masses). NOTE: appended at the
+            # END, after prev_actions — this intentionally differs from
+            # IG full_state's placement (sensors before actions); the
+            # legacy 89+18 layout keeps its shipped order (round-4
+            # ADVICE #5), while the full_state branch above follows
+            # IG's ordering exactly.
             cols.append(state.tip_force)
         return jnp.concatenate(cols, axis=-1)
 

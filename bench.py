@@ -145,7 +145,7 @@ def bench_pendulum():
     return N_STEPS * NUM_ENVS / per_chain
 
 
-def bench_articulated(task_name, cfg_file, n_envs, ep_len):
+def bench_articulated(task_name, cfg_file, n_envs, ep_len, env_over=None):
     """An articulated task through the real collection round (reset +
     policy steps + episode extraction) on the rebuilt engine — the
     articulated hard path (VERDICT round-1 item 3; Ant/Humanoid added
@@ -162,6 +162,8 @@ def bench_articulated(task_name, cfg_file, n_envs, ep_len):
                             "bayes_sim_ig_tpu", "cfg", cfg_file)
     cfg = yaml.safe_load(open(cfg_path))
     cfg["env"]["numEnvs"] = n_envs
+    if env_over:
+        cfg["env"].update(env_over)
     env = make_env(task_name, cfg)
     task = env.task
     distr = to_device_distr(Uniform(task.params_spec.lows,
@@ -269,6 +271,20 @@ def main():
               round(hand10k / HAND_FULL_TARGET, 4))
     except Exception as e:
         ROWS["shadowhand_full_env_steps_per_sec_10000envs"] = {
+            "err": repr(e)[:80]}
+    try:
+        hand211 = bench_articulated(
+            "ShadowHand", "shadow_hand.yaml", HAND_ENVS, HAND_LEN,
+            env_over={"observationType": "full_state"})
+        _emit("shadowhand_full_state_obs_env_steps_per_sec_16384envs",
+              round(hand211, 1),
+              "env steps/s (full stack + the reference's 211-dim "
+              "full_state obs: dof forces, fingertip states, 5x6 "
+              "force/torque sensors — the A/B against the 89-dim row "
+              "above is the obs-derivation cost)",
+              round(hand211 / HAND_FULL_TARGET, 4))
+    except Exception as e:
+        ROWS["shadowhand_full_state_obs_env_steps_per_sec_16384envs"] = {
             "err": repr(e)[:80]}
     for name, cfg_file, n_envs in (
             ("Ant", "ant.yaml", 4096),

@@ -415,6 +415,60 @@ class TestShadowHandCube:
         env0.step(jnp.zeros((2, 20)))
         assert not np.asarray(env0.state.task_state.tip_force).any()
 
+    def test_full_state_obs_layout(self):
+        """`observationType: "full_state"` (the reference's shipped
+        value, /root/reference/bayes_sim_ig/cfg/shadow_hand.yaml:42;
+        VERDICT round-4 item 4) selects the 211-dim IG-layout obs:
+        dof pos/vel/force (3x24), object 13, goal 11, fingertip states
+        5x13, force/torque sensors 5x6, actions 20 — with the dof-force
+        and sensor blocks responding to a squeeze and the fingertip
+        block carrying real kinematics."""
+        cfg = load_cfg("ShadowHand", 4)
+        cfg["env"]["observationType"] = "full_state"
+        env = make_env("ShadowHand", cfg)
+        task = env.task
+        assert task.obs_dim == 211
+        spec = task.params_spec
+        mog = MoG(a=[1.0], ms=[np.ones(spec.dim, np.float64)],
+                  Ss=[np.eye(spec.dim) * 1e-12])
+        env.set_distr(to_device_distr(mog, spec.lows, spec.highs))
+        obs = env.reset()
+        assert obs.shape == (4, 211)
+        lo, hi = task._act_lo, task._act_hi
+        act = np.tile((2.0 * (0.0 - lo) / (hi - lo) - 1.0).astype(
+            np.float32), (4, 1))
+        act[:, [3, 4, 6, 7, 9, 10, 13, 14, 16, 19]] = 1.0  # full curl
+        for _ in range(60):
+            env.step(jnp.asarray(act))
+        ts = env.state.task_state
+        # Raw layout via observe() (no noise lambda in the way).
+        obs = np.asarray(task.observe(ts, env.state.params))
+        assert np.isfinite(obs).all()
+        # dof force block [48:72]: the curled servos push against the
+        # drive-effort clamp, so scaled readings are nonzero.
+        assert np.abs(obs[:, 48:72]).max() > 0.01
+        # fingertip block [96:161]: positions within 0.5 m of the palm
+        # anchor, unit quaternions.
+        tips = obs[:, 96:161].reshape(4, 5, 13)
+        assert (np.linalg.norm(tips[:, :, :3]
+                               - np.array([0.06, 0.0, 0.32]),
+                               axis=-1) < 0.5).all()
+        np.testing.assert_allclose(
+            np.linalg.norm(tips[:, :, 3:7], axis=-1), 1.0, atol=1e-4)
+        # sensor block [161:191] interleaves the state's force/torque
+        # (x FORCE_TORQUE_OBS_SCALE); actions block [191:211] IS
+        # prev_actions.
+        sens = obs[:, 161:191].reshape(4, 5, 6)
+        tf = np.asarray(ts.tip_force).reshape(4, 6, 3)
+        np.testing.assert_allclose(
+            sens[:, :, :3], tf[:, :5] * task.FORCE_TORQUE_OBS_SCALE,
+            rtol=1e-5, atol=1e-7)
+        np.testing.assert_array_equal(
+            obs[:, 191:211], np.asarray(ts.prev_actions))
+        # The palm still carries the cube (same physics as the legacy
+        # sensor test): total contact force is alive.
+        assert np.abs(tf).max() > 0.1
+
     def test_fingers_cannot_cross_through_each_other(self):
         """Finger-finger self-collision (round-3 addition closing the
         PARITY.md contact caveat): abducting FF toward -y and MF toward
