@@ -80,6 +80,47 @@ def test_sharded_collection_matches_layout():
 
 
 @pytest.mark.heavy
+def test_sharded_full_state_obs_no_collectives():
+    """ShadowHand's 211-dim full_state obs path (gather-heavy: payload
+    row selection, take_along_axis sensor blocks, J^T contact
+    projections) must stay embarrassingly parallel when env-sharded:
+    the partitioned step HLO contains ZERO collectives, matching the
+    compact-obs path the dryrun audits (VERDICT round-4 item 5)."""
+    import yaml
+    from bayes_sim_ig_tpu.parallel import make_mesh, set_global_mesh
+    from bayes_sim_ig_tpu.sim import make_env
+    from bayes_sim_ig_tpu.sim.task import env_step
+    from bayes_sim_ig_tpu.distributions import Uniform, to_device_distr
+    from .test_tasks import load_cfg
+
+    cfg = load_cfg("ShadowHand", 16)
+    cfg["env"]["observationType"] = "full_state"
+    env = make_env("ShadowHand", cfg)
+    spec = env.task.params_spec
+    env.set_distr(to_device_distr(Uniform(spec.lows, spec.highs)))
+    mesh = make_mesh(8)
+    set_global_mesh(mesh)
+    try:
+        env.reset()
+        step = jax.jit(env_step,
+                       static_argnames=("task", "max_episode_length"))
+        acts = jnp.zeros((16, 20))
+        hlo = step.lower(env.task, env._distr, env.state, acts,
+                         10).compile().as_text()
+        state, obs, _, _ = step(env.task, env._distr, env.state, acts, 10)
+        jax.block_until_ready(obs)
+    finally:
+        set_global_mesh(None)
+    assert obs.shape == (16, 211)
+    assert len(obs.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(obs)).all()
+    cols = {op: hlo.count(op) for op in
+            ("all-gather", "all-reduce", "collective-permute",
+             "all-to-all", "reduce-scatter")}
+    assert not any(cols.values()), cols
+
+
+@pytest.mark.heavy
 def test_sharded_physics_engine_step():
     """The Featherstone-engine path (Ant: CRBA + contacts + per-env DR
     resampling) compiles and runs with an env-sharded EnvState — the
