@@ -241,7 +241,42 @@ def _emit_aggregate():
     }, separators=(",", ":")), flush=True)
 
 
+WATCHDOG_SEC = 1500.0
+_WATCHDOG = [None, None]  # (Timer, current-row-name)
+
+
+def _row_watchdog(name):
+    """Arm a per-row watchdog. The tunneled TPU's remote compile path
+    can WEDGE outright (observed 2026-08-20: a client blocks forever
+    with ~0 CPU; SIGALRM cannot interrupt the stuck C call). A hang in
+    one row must not cost the whole artifact, so a daemon timer emits
+    the aggregate of every completed row and hard-exits — the aggregate
+    line is guaranteed to be the last stdout line either way."""
+    import threading
+
+    if _WATCHDOG[0] is not None:
+        _WATCHDOG[0].cancel()
+
+    def fire(row=name):
+        ROWS[row] = {"err": f"watchdog: row exceeded {WATCHDOG_SEC}s "
+                            "(wedged tunnel compile?)"}
+        _emit_aggregate()
+        os._exit(0)
+
+    t = threading.Timer(WATCHDOG_SEC, fire)
+    t.daemon = True
+    t.start()
+    _WATCHDOG[0], _WATCHDOG[1] = t, name
+
+
+def _watchdog_off():
+    if _WATCHDOG[0] is not None:
+        _WATCHDOG[0].cancel()
+        _WATCHDOG[0] = None
+
+
 def main():
+    _row_watchdog("pendulum_env_steps_per_sec_4096envs")
     try:
         pend = bench_pendulum()
         _emit("pendulum_env_steps_per_sec_4096envs", round(pend, 1),
@@ -249,6 +284,7 @@ def main():
               round(pend / TARGET, 4))
     except Exception as e:  # keep later rows + aggregate alive
         ROWS["pendulum_env_steps_per_sec_4096envs"] = {"err": repr(e)[:80]}
+    _row_watchdog("shadowhand_full_env_steps_per_sec_16384envs")
     try:
         hand = bench_articulated("ShadowHand", "shadow_hand.yaml",
                                  HAND_ENVS, HAND_LEN)
@@ -261,6 +297,7 @@ def main():
     except Exception as e:
         ROWS["shadowhand_full_env_steps_per_sec_16384envs"] = {
             "err": repr(e)[:80]}
+    _row_watchdog("shadowhand_full_env_steps_per_sec_10000envs")
     try:
         hand10k = bench_articulated("ShadowHand", "shadow_hand_more.yaml",
                                     10000, HAND_LEN)
@@ -272,20 +309,6 @@ def main():
     except Exception as e:
         ROWS["shadowhand_full_env_steps_per_sec_10000envs"] = {
             "err": repr(e)[:80]}
-    try:
-        hand211 = bench_articulated(
-            "ShadowHand", "shadow_hand.yaml", HAND_ENVS, HAND_LEN,
-            env_over={"observationType": "full_state"})
-        _emit("shadowhand_full_state_obs_env_steps_per_sec_16384envs",
-              round(hand211, 1),
-              "env steps/s (full stack + the reference's 211-dim "
-              "full_state obs: dof forces, fingertip states, 5x6 "
-              "force/torque sensors — the A/B against the 89-dim row "
-              "above is the obs-derivation cost)",
-              round(hand211 / HAND_FULL_TARGET, 4))
-    except Exception as e:
-        ROWS["shadowhand_full_state_obs_env_steps_per_sec_16384envs"] = {
-            "err": repr(e)[:80]}
     for name, cfg_file, n_envs in (
             ("Ant", "ant.yaml", 4096),
             ("Humanoid", "humanoid.yaml", 4096),
@@ -296,6 +319,7 @@ def main():
             ("Cartpole", "cartpole.yaml", 512),
             ("BallBalance", "ball_balance.yaml", 128)):
         metric = f"{name.lower()}_env_steps_per_sec_{n_envs}envs"
+        _row_watchdog(metric)
         try:
             val = bench_articulated(name, cfg_file, n_envs, 51)
         except Exception as e:
@@ -309,14 +333,35 @@ def main():
               + ("" if n_envs >= 4096
                  else f" [target prorated to {n_envs} envs]"),
               round(val / target, 4))
+    _row_watchdog("mdnn_train_samples_per_sec")
     try:
         bench_mdnn()
     except Exception as e:
         ROWS["mdnn_train_samples_per_sec"] = {"err": repr(e)[:80]}
+    _row_watchdog("pendulum_adr_iteration_sec_warm")
     try:
         bench_adr_iter()
     except Exception as e:
         ROWS["pendulum_adr_iteration_sec_warm"] = {"err": repr(e)[:80]}
+    # LAST: the 211-dim full_state A/B — the one row needing a fresh
+    # remote compile of a program no other row shares; if its compile
+    # wedges, only this row is lost.
+    _row_watchdog("shadowhand_full_state_obs_env_steps_per_sec_16384envs")
+    try:
+        hand211 = bench_articulated(
+            "ShadowHand", "shadow_hand.yaml", HAND_ENVS, HAND_LEN,
+            env_over={"observationType": "full_state"})
+        _emit("shadowhand_full_state_obs_env_steps_per_sec_16384envs",
+              round(hand211, 1),
+              "env steps/s (full stack + the reference's 211-dim "
+              "full_state obs: dof forces, fingertip states, 5x6 "
+              "force/torque sensors — the A/B against the 89-dim row "
+              "is the obs-derivation cost)",
+              round(hand211 / HAND_FULL_TARGET, 4))
+    except Exception as e:
+        ROWS["shadowhand_full_state_obs_env_steps_per_sec_16384envs"] = {
+            "err": repr(e)[:80]}
+    _watchdog_off()
     _emit_aggregate()
 
 
