@@ -754,24 +754,29 @@ def _promote_kin(kin: Kinematics) -> Kinematics:
     return jax.tree_util.tree_map(lambda a: a[..., None], kin)
 
 
-def carried_mass_factor(factor):
-    """Gate for the frozen-mass-matrix substep scheme (opt-in,
-    ``BSIM_FROZEN_MASS=1``): returns the factor carried from the previous
-    substep so ``forward_dynamics`` skips the CRBA build + factorization,
-    or None (default) for a fresh factorization every substep.
+def carried_mass_factor(factor, default=False):
+    """Gate for the frozen-mass-matrix substep scheme: returns the
+    factor carried from the previous substep so ``forward_dynamics``
+    skips the CRBA build + factorization, or None for a fresh
+    factorization every substep. ``default`` is the calling TASK's
+    preference; ``BSIM_FROZEN_MASS=1``/``=0`` force it either way.
 
-    Measured on the v5e (round 3, full collection rounds, K-slope):
-    freezing LOSES on this runtime — ShadowHand@16k 229 vs 198 ms/round,
-    Humanoid@4096 62 vs 47 — because keeping the ~|pairs| factor rows
-    live across the substep boundary costs more in buffer traffic than
-    the skipped (already op-overhead-bound) refactorization saves. It
-    also degrades stiff PD-servo chains (FrankaCabinet's tracking test
-    fails frozen: stale M + stiff drives pump energy). Kept opt-in for
-    runtimes where the tradeoff lands the other way; accuracy contract
-    tested in test_physics.py (step-1 deviation O(h^2 |qd| dM))."""
-    if os.environ.get("BSIM_FROZEN_MASS", "0") != "1":
-        return None
-    return factor
+    The tradeoff moved across rounds. Round 3 (pre-collapse): freezing
+    LOST everywhere (ShadowHand@16k 229 vs 198 ms/round, Humanoid@4096
+    62 vs 47) — the carried ~|pairs| factor rows cost more buffer
+    traffic than the refactorization saved. Round 5 (post phantom-link
+    collapse, which halved the streamed link rows and FK depth):
+    Humanoid@4096 measures 8.48M vs 7.06M env-steps/s (+20%, K-slope
+    protocol) WITH freezing, so torque-actuated tasks (Humanoid, Ant —
+    no implicit PD drives) now default it ON. Tasks with stiff implicit
+    drives keep fresh factorizations: stale M + stiff drives pumps
+    energy (FrankaCabinet's tracking test fails frozen), so their
+    default stays False and the env knob can still force either way
+    for A/Bs. Accuracy contract tested in test_physics.py (step-1
+    deviation O(h^2 |qd| dM))."""
+    v = os.environ.get("BSIM_FROZEN_MASS", "")
+    frozen = default if v == "" else v == "1"
+    return factor if frozen else None
 
 
 def joint_passive_torque(model: ArticulatedModel, params: DynParams, q_dof,

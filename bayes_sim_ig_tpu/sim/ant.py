@@ -212,7 +212,8 @@ class Ant(Task):
             f_ext = ground_contact_forces(m, kin, dp, dt=h)
             qdd, _, factor = forward_dynamics(
                 m, q, v, tau_act, dp, f_ext, dt=h, kin=kin,
-                factor=carried_mass_factor(factor), return_factor=True)
+                factor=carried_mass_factor(factor, default=True),
+                return_factor=True)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
             return (q, v, factor), None
@@ -221,8 +222,10 @@ class Ant(Task):
         # while-loop level, and each loop iteration carries a large fixed
         # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
         # substeps into the step graph is strictly cheaper. The carried
-        # factor enables the opt-in frozen-mass substep scheme
-        # (BSIM_FROZEN_MASS=1; measured slower here, dynamics.py).
+        # factor feeds the frozen-mass substep scheme — ON by default
+        # for this torque-actuated task since the round-4 phantom
+        # collapse flipped the tradeoff (+20% measured on Humanoid;
+        # carried_mass_factor docstring; BSIM_FROZEN_MASS overrides).
         carry = (state.q, state.v, None)
         for _ in range(self.substeps):
             carry, _ = substep(carry, None)
