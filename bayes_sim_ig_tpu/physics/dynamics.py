@@ -762,18 +762,25 @@ def carried_mass_factor(factor, default=False):
     preference; ``BSIM_FROZEN_MASS=1``/``=0`` force it either way.
 
     The tradeoff moved across rounds. Round 3 (pre-collapse): freezing
-    LOST everywhere (ShadowHand@16k 229 vs 198 ms/round, Humanoid@4096
-    62 vs 47) — the carried ~|pairs| factor rows cost more buffer
-    traffic than the refactorization saved. Round 5 (post phantom-link
-    collapse, which halved the streamed link rows and FK depth):
-    Humanoid@4096 measures 8.48M vs 7.06M env-steps/s (+20%, K-slope
-    protocol) WITH freezing, so torque-actuated tasks (Humanoid, Ant —
-    no implicit PD drives) now default it ON. Tasks with stiff implicit
-    drives keep fresh factorizations: stale M + stiff drives pumps
-    energy (FrankaCabinet's tracking test fails frozen), so their
-    default stays False and the env knob can still force either way
-    for A/Bs. Accuracy contract tested in test_physics.py (step-1
-    deviation O(h^2 |qd| dM))."""
+    LOST on throughput everywhere (ShadowHand@16k 229 vs 198 ms/round,
+    Humanoid@4096 62 vs 47) — the carried ~|pairs| factor rows cost
+    more buffer traffic than the refactorization saved. Round 5 (post
+    phantom-link collapse, which halved the streamed link rows and FK
+    depth) the throughput sign flipped: Humanoid@4096 measures 8.62M
+    frozen vs 6.99M fresh env-steps/s (+23%, K-slope protocol), Ant
+    13.4M vs 12.7M (+5%). But a 400-iteration PPO learnability A/B
+    (identical seeds/protocol) splits the defaults by TASK STABILITY,
+    not actuation: frozen-mass Ant matches fresh (final mean step
+    reward 10.6 vs 10.4), while frozen-mass Humanoid NEVER learns to
+    run (stuck at -0.3..-0.6 vs 2.7 -> 9.0 fresh) — the O(h^2 |qd| dM)
+    stale-M substep error concentrates on exactly the post-impact
+    high-|qd| states a high-CoM gait must recover from, while the
+    sprawled Ant tolerates it. So: Ant defaults ON (throughput for
+    free), Humanoid and every stiff-implicit-PD task defaults OFF
+    (for those, stale M + stiff drives additionally pumps energy —
+    FrankaCabinet's tracking test fails frozen). The env knob forces
+    either way for A/Bs. Accuracy contract tested in test_physics.py
+    (step-1 deviation O(h^2 |qd| dM))."""
     v = os.environ.get("BSIM_FROZEN_MASS", "")
     frozen = default if v == "" else v == "1"
     return factor if frozen else None

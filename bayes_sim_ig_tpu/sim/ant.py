@@ -223,9 +223,13 @@ class Ant(Task):
         # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
         # substeps into the step graph is strictly cheaper. The carried
         # factor feeds the frozen-mass substep scheme — ON by default
-        # for this torque-actuated task since the round-4 phantom
-        # collapse flipped the tradeoff (+20% measured on Humanoid;
-        # carried_mass_factor docstring; BSIM_FROZEN_MASS overrides).
+        # here since the round-4 phantom collapse flipped the throughput
+        # tradeoff (+5% on Ant, 13.4M vs 12.7M steps/s) and a
+        # 400-iteration PPO learnability A/B shows this sprawled,
+        # passively stable task learns identically frozen vs fresh
+        # (final reward 10.6 vs 10.4) — unlike Humanoid, which keeps
+        # fresh factorizations (carried_mass_factor docstring;
+        # BSIM_FROZEN_MASS overrides).
         carry = (state.q, state.v, None)
         for _ in range(self.substeps):
             carry, _ = substep(carry, None)

@@ -285,7 +285,7 @@ class Humanoid(Task):
             f_ext = ground_contact_forces(m, kin, dp, dt=h)
             qdd, _, factor = forward_dynamics(
                 m, q, v, tau, dp, f_ext, dt=h, kin=kin,
-                factor=carried_mass_factor(factor, default=True),
+                factor=carried_mass_factor(factor),
                 return_factor=True)
             q, v = integrate(m, q, v, qdd, h)
             q, v = clamp_limits(m, q, v)
@@ -295,10 +295,15 @@ class Humanoid(Task):
         # while-loop level, and each loop iteration carries a large fixed
         # dispatch cost on this runtime (measured ~0.4 ms) — unrolling two
         # substeps into the step graph is strictly cheaper. The carried
-        # factor feeds the frozen-mass substep scheme — ON by default
-        # for this torque-actuated task since the round-4 phantom
-        # collapse flipped the tradeoff (+20% measured on Humanoid;
-        # carried_mass_factor docstring; BSIM_FROZEN_MASS overrides).
+        # factor feeds the frozen-mass substep scheme — measured +23%
+        # throughput post phantom-collapse (8.62M vs 6.99M steps/s) but
+        # kept OFF by default: a 400-iteration PPO learnability A/B shows
+        # frozen-mass Humanoid never learns to run (mean step reward
+        # stuck at -0.3..-0.6 vs 2.7 -> 9.0 fresh, identical seeds/
+        # protocol) — the stale-M substep error lands exactly on the
+        # post-impact high-|qd| states a gait must recover from
+        # (carried_mass_factor docstring; BSIM_FROZEN_MASS=1 opts in
+        # for throughput-first A/Bs).
         carry = (state.q, state.v, None)
         for _ in range(self.substeps):
             carry, _ = substep(carry, None)

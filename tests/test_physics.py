@@ -804,15 +804,15 @@ class TestBf16Path:
         assert err < 0.05 * scale, (err, scale)
 
 
-@pytest.mark.heavy  # opt-in scheme (measured losing on-chip); the
-# factor-reuse contract itself is default-tested in test_ops
+@pytest.mark.heavy  # the factor-reuse contract itself is
+# default-tested in test_ops
 class TestFrozenMassSubsteps:
     def test_frozen_vs_fresh_single_step(self, monkeypatch):
-        """The opt-in frozen-mass substep scheme (BSIM_FROZEN_MASS=1:
-        mass factorization computed at the first substep, reused by the
-        second — dynamics.py carried_mass_factor) perturbs one physics
-        step by O(h^2 |qd| dM): well under 1% of the state scale on Ant;
-        the default remains per-substep refactorization."""
+        """The frozen-mass substep scheme (mass factorization computed
+        at the first substep, reused by the second — dynamics.py
+        carried_mass_factor; default ON for Ant since round 5, forced
+        either way by BSIM_FROZEN_MASS) perturbs one physics step by
+        O(h^2 |qd| dM): well under 1% of the state scale on Ant."""
         import yaml
         from bayes_sim_ig_tpu.sim import make_env
         cfg = yaml.safe_load(open(
@@ -827,7 +827,9 @@ class TestFrozenMassSubsteps:
         state = task.init_state(key, params)
         act = jnp.tile(jnp.linspace(-0.5, 0.5, task.act_dim)[None], (8, 1))
 
-        monkeypatch.delenv("BSIM_FROZEN_MASS", raising=False)
+        # Ant's DEFAULT is frozen since round 5, so the fresh arm must
+        # force =0 (delenv would silently compare frozen to frozen).
+        monkeypatch.setenv("BSIM_FROZEN_MASS", "0")
         fresh = task.physics_step(state, act, params, key)
         fresh2 = task.physics_step(state, act, params, key)
         monkeypatch.setenv("BSIM_FROZEN_MASS", "1")
@@ -840,7 +842,9 @@ class TestFrozenMassSubsteps:
         dev = float(jnp.abs(frozen.q - fresh.q).max())
         assert np.isfinite(np.asarray(frozen.q)).all()
         assert np.isfinite(np.asarray(frozen.v)).all()
-        assert dev < 0.01 * scale, (dev, scale)
+        # dev == 0 would mean the frozen path never engaged (e.g. both
+        # arms silently resolved to the same default).
+        assert 0.0 < dev < 0.01 * scale, (dev, scale)
 
 
 class TestImpulseCompactEquivalence:
