@@ -544,7 +544,21 @@ def _plucker_inertia_direct(kin: Kinematics, params: DynParams):
 # --------------------------------------------------------------------- #
 def _i10_direct(kin: Kinematics, params: DynParams):
     """(nb, 10, N) spatial inertias about o from world COM/world-rotated
-    inertia diagonals (same math as ``_plucker_inertia_direct``, packed)."""
+    inertia diagonals (same math as ``_plucker_inertia_direct``, packed).
+
+    Returns f32 ALWAYS — the caller casts to bf16 for the bias path
+    only. Rationale (round 5): the rotational block about the shared
+    point o carries m|c|^2 terms that mostly CANCEL when CRBA projects
+    through S onto a light distal dof, so the factorization pivot is a
+    small difference of large products; bf16's ~0.4% relative error on
+    I10 becomes an ABSOLUTE error on that scale, flips marginal pivots
+    negative, and the LTDL/Cholesky non-positive-pivot NaN policy then
+    (correctly) poisons the env. Measured on Humanoid, mid-range DR
+    params, 16 envs: bf16 I10 into CRBA NaN'd 3/16 envs at step 1 and
+    15/16 by step 5 (the env_step quarantine was absorbing a ~50%
+    higher reset rate, 71 vs 48 per 960 env-steps); f32 I10 into CRBA
+    eliminates the class. The bias path keeps bf16 I10 — its error is
+    bounded force noise, not sign-critical."""
     R = kin.R_w                                            # (nb, 3, 3, N)
     n = R.shape[-1]
     s = jnp.broadcast_to(jnp.asarray(params.scale), (n,))
@@ -566,8 +580,7 @@ def _i10_direct(kin: Kinematics, params: DynParams):
             ric(1, 2) - mass * cy * cz,
             mass * cx, mass * cy, mass * cz,
             jnp.broadcast_to(mass, c2.shape)]
-    out = jnp.stack(rows, 1)                               # (nb, 10, N)
-    return _c16(out)
+    return jnp.stack(rows, 1)                              # (nb, 10, N)
 
 
 def _i10_mv(I10, V):
@@ -861,8 +874,9 @@ def forward_dynamics(model: ArticulatedModel, q, v, tau,
         return qdd[0], _squeeze_last(kin1)
     if kin is None:
         kin = forward_kinematics(model, q, v, params)
-    I10 = _i10_direct(kin, params)
-    C = _bias_from_i10(model, kin, I10, params, f_ext_world)  # (nv, N)
+    I10 = _i10_direct(kin, params)                       # f32 (M path)
+    C = _bias_from_i10(model, kin, _c16(I10), params,
+                       f_ext_world)                       # (nv, N)
     vT = _el(v)
     q_dofT = _el(dof_positions(model, q))
     stiffT = _el(jnp.broadcast_to(jnp.asarray(params.stiffness),
